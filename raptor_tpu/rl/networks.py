@@ -1,0 +1,116 @@
+"""NN stack for RL: MLP actor with squashed-Gaussian head + twin Q critics.
+
+Functional mirror of the reference nn stack (SURVEY §3.2): `nn_models/mlp`,
+`nn/layers/sample_and_squash` (tanh-squashed Gaussian sample + log-prob
+correction), `nn/layers/dense`. No capability system — autodiff owns the
+backward buffers (`jax.grad`); no CHANGE_BATCH_SIZE metaprogramming — shape
+polymorphism is free under vmap/jit.
+
+Everything is a plain dict pytree; apply fns are pure. Matmuls are batched
+[B, in] @ [in, out] so XLA tiles them onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+LOG_STD_MIN = -10.0
+LOG_STD_MAX = 2.0
+
+
+def _dense_init(key, in_dim: int, out_dim: int, scale: float = 1.0):
+    kw, _ = jax.random.split(key)
+    bound = scale / np.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def mlp_init(key, dims: Sequence[int], final_scale: float = 1.0) -> Params:
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i, k in enumerate(keys):
+        scale = final_scale if i == len(keys) - 1 else 1.0
+        layers.append(_dense_init(k, dims[i], dims[i + 1], scale))
+    return {"layers": layers}
+
+
+def mlp_apply(params: Params, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        x = activation(x @ layer["w"] + layer["b"])
+    last = layers[-1]
+    return x @ last["w"] + last["b"]
+
+
+# ---------------------------------------------------------------------------
+# actor: obs -> (mu, log_std); sample-and-squash head
+# ---------------------------------------------------------------------------
+
+
+def actor_init(key, obs_dim: int, action_dim: int, hidden: Sequence[int] = (64, 64)):
+    return mlp_init(key, [obs_dim, *hidden, 2 * action_dim], final_scale=0.01)
+
+
+def actor_dist(params: Params, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    out = mlp_apply(params, obs)
+    mu, log_std = jnp.split(out, 2, axis=-1)
+    log_std = jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX)
+    return mu, log_std
+
+
+def sample_and_squash(
+    key, mu: jnp.ndarray, log_std: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample a ~ tanh(N(mu, sigma)); return (action, log_prob) with the
+    tanh change-of-variables correction (reference nn/layers/
+    sample_and_squash, README:116)."""
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mu.shape)
+    pre = mu + std * eps
+    action = jnp.tanh(pre)
+    # N log-prob + log|d tanh^-1/da| summed over action dims; the stable form
+    # log(1 - tanh(x)^2) = 2*(log2 - x - softplus(-2x))
+    log_prob = jnp.sum(
+        -0.5 * (eps**2) - log_std - 0.5 * np.log(2.0 * np.pi), axis=-1
+    )
+    log_prob -= jnp.sum(
+        2.0 * (np.log(2.0) - pre - jax.nn.softplus(-2.0 * pre)), axis=-1
+    )
+    return action, log_prob
+
+
+def actor_sample(params: Params, key, obs: jnp.ndarray):
+    mu, log_std = actor_dist(params, obs)
+    return sample_and_squash(key, mu, log_std)
+
+
+def actor_mean(params: Params, obs: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic (eval) action."""
+    mu, _ = actor_dist(params, obs)
+    return jnp.tanh(mu)
+
+
+# ---------------------------------------------------------------------------
+# twin critics: (obs, action) -> q
+# ---------------------------------------------------------------------------
+
+
+def critic_init(key, obs_dim: int, action_dim: int, hidden: Sequence[int] = (64, 64)):
+    k1, k2 = jax.random.split(key)
+    dims = [obs_dim + action_dim, *hidden, 1]
+    return {"q1": mlp_init(k1, dims), "q2": mlp_init(k2, dims)}
+
+
+def critic_apply(params: Params, obs: jnp.ndarray, action: jnp.ndarray):
+    x = jnp.concatenate([obs, action], axis=-1)
+    q1 = mlp_apply(params["q1"], x)[..., 0]
+    q2 = mlp_apply(params["q2"], x)[..., 0]
+    return q1, q2

@@ -1,0 +1,177 @@
+"""Off-policy runner: jitted collect+train super-steps.
+
+TPU-native equivalent of the reference `rl/components/off_policy_runner` +
+`rl/loop/steps/core` (SURVEY §3.4, §4.3): instead of a per-step host loop,
+one jitted super-step runs `lax.scan` over H env steps (vmapped over N
+envs), bulk-writes the rollout into the HBM replay ring, then runs G SAC
+gradient steps — a single XLA program per training iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from raptor_tpu.env.quad import L2F, EnvState
+from raptor_tpu.env.types import DynamicsParams
+from raptor_tpu.rl import networks, replay, sac
+
+
+@dataclasses.dataclass(frozen=True)
+class RunnerConfig:
+    n_envs: int = 64
+    rollout_length: int = 32  # H env steps per super-step
+    gradient_steps: int = 32  # G SAC updates per super-step
+    batch_size: int = 256
+    replay_capacity: int = 4096  # time rows (x n_envs transitions)
+    warmup_steps: int = 1000  # uniform-random action steps before training
+    actor_obs_dim: int | None = None  # policy sees obs[:, :this]; None = full
+
+
+class TrainerState(struct.PyTreeNode):
+    sac: sac.SACState
+    buffer: replay.TransitionBuffer
+    env_state: EnvState  # vmapped [N]
+    obs: jnp.ndarray  # [N, obs_dim]
+    key: jax.Array
+    total_env_steps: jnp.ndarray
+
+
+def trainer_init(
+    key: jax.Array,
+    env: L2F,
+    params: DynamicsParams,  # vmapped [N]
+    run_cfg: RunnerConfig,
+    sac_cfg: sac.SACConfig = sac.SACConfig(),
+) -> TrainerState:
+    n = run_cfg.n_envs
+    k_sac, k_reset, k_carry = jax.random.split(key, 3)
+    obs_dim = env.OBSERVATION_DIM
+    actor_obs = run_cfg.actor_obs_dim or obs_dim
+    sac_state = sac.sac_init(k_sac, actor_obs, env.ACTION_DIM, sac_cfg)
+    v_reset, _ = env.vector_ops()
+    env_state, obs = v_reset(jax.random.split(k_reset, n), params)
+    buffer = replay.transition_buffer_init(
+        run_cfg.replay_capacity, n, obs_dim, env.ACTION_DIM
+    )
+    return TrainerState(
+        sac=sac_state,
+        buffer=buffer,
+        env_state=env_state,
+        obs=obs,
+        key=k_carry,
+        total_env_steps=jnp.int32(0),
+    )
+
+
+def _actor_slice(obs: jnp.ndarray, run_cfg: RunnerConfig) -> jnp.ndarray:
+    if run_cfg.actor_obs_dim is None:
+        return obs
+    return obs[..., : run_cfg.actor_obs_dim]
+
+
+def collect(
+    state: TrainerState,
+    env: L2F,
+    params: DynamicsParams,
+    run_cfg: RunnerConfig,
+    random_actions: bool = False,
+) -> TrainerState:
+    """Roll H steps of N envs with the current actor; bulk-write to replay.
+
+    Uses info['final_obs'] for the bootstrap target and counts only true
+    terminations (not truncations) as `done` — standard partial-episode
+    bootstrapping.
+    """
+    _, v_step = env.vector_ops()
+
+    def body(carry, _):
+        es, obs, key = carry
+        key, k_act, k_step = jax.random.split(key, 3)
+        if random_actions:
+            action = jax.random.uniform(
+                k_act, (run_cfg.n_envs, env.ACTION_DIM), minval=-1.0, maxval=1.0
+            )
+        else:
+            action, _ = networks.actor_sample(
+                state.sac.actor, k_act, _actor_slice(obs, run_cfg)
+            )
+        es, next_obs, reward, done, info = v_step(params, es, action)
+        transition = (
+            obs,
+            action,
+            reward,
+            info["final_obs"],
+            info["terminated"].astype(jnp.float32),
+        )
+        return (es, next_obs, key), transition
+
+    (es, obs, key), (o, a, r, no, d) = jax.lax.scan(
+        body,
+        (state.env_state, state.obs, state.key),
+        None,
+        length=run_cfg.rollout_length,
+    )
+    buffer = replay.transition_buffer_add_rollout(state.buffer, o, a, r, no, d)
+    return state.replace(
+        buffer=buffer,
+        env_state=es,
+        obs=obs,
+        key=key,
+        total_env_steps=state.total_env_steps
+        + run_cfg.rollout_length * run_cfg.n_envs,
+    )
+
+
+def train(
+    state: TrainerState,
+    run_cfg: RunnerConfig,
+    sac_cfg: sac.SACConfig,
+) -> Tuple[TrainerState, sac.SACMetrics]:
+    """G gradient steps on minibatches from replay."""
+
+    def body(carry, _):
+        sac_state, key = carry
+        key, k_sample, k_update = jax.random.split(key, 3)
+        batch = replay.transition_buffer_sample(
+            state.buffer, k_sample, run_cfg.batch_size
+        )
+        obs, action, reward, next_obs, done = batch
+        batch = (
+            _actor_slice(obs, run_cfg),
+            action,
+            reward,
+            _actor_slice(next_obs, run_cfg),
+            done,
+        )
+        sac_state, metrics = sac.sac_update(sac_state, k_update, batch, sac_cfg)
+        return (sac_state, key), metrics
+
+    (sac_state, key), metrics = jax.lax.scan(
+        body, (state.sac, state.key), None, length=run_cfg.gradient_steps
+    )
+    last = jax.tree.map(lambda m: m[-1], metrics)
+    return state.replace(sac=sac_state, key=key), last
+
+
+def make_super_step(env: L2F, run_cfg: RunnerConfig, sac_cfg: sac.SACConfig):
+    """One jitted (collect H + train G) program; donate the trainer state so
+    replay updates are in-place in HBM."""
+
+    def super_step(state: TrainerState, params: DynamicsParams):
+        state = collect(state, env, params, run_cfg)
+        state, metrics = train(state, run_cfg, sac_cfg)
+        return state, metrics
+
+    return jax.jit(super_step, donate_argnums=(0,))
+
+
+def make_warmup_step(env: L2F, run_cfg: RunnerConfig):
+    def warmup(state: TrainerState, params: DynamicsParams):
+        return collect(state, env, params, run_cfg, random_actions=True)
+
+    return jax.jit(warmup, donate_argnums=(0,))
