@@ -1,0 +1,108 @@
+"""Foundation-recipe tests: population teacher training mechanics + the
+distillation round loop (SURVEY §7 Stage 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raptor_tpu.env import EnvConfig, InitConfig, L2F
+from raptor_tpu.distill import population, post_training
+from raptor_tpu.policy import network as student_net
+from raptor_tpu.rl import networks, sac
+
+
+@pytest.fixture(scope="module")
+def env():
+    return L2F(EnvConfig(episode_length=50))
+
+
+def test_population_super_step(env):
+    pop_cfg = population.PopulationConfig(
+        n_teachers=4, envs_per_teacher=8, rollout_length=4, gradient_steps=4,
+        batch_size=32, replay_capacity=64, warmup_super_steps=1,
+    )
+    sac_cfg = sac.SACConfig(actor_hidden=(16, 16), critic_hidden=(16, 16))
+    airframes = population.sample_teacher_airframes(jax.random.key(0), 4)
+    states, env_params, run_cfg = population.population_init(
+        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    )
+    warmup = population.make_population_warmup(env, run_cfg)
+    super_step = population.make_population_super_step(env, run_cfg, sac_cfg)
+    states = warmup(states, env_params)
+    states, metrics = super_step(states, env_params)
+    assert metrics.critic_loss.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(metrics.critic_loss)))
+    assert int(states.total_env_steps[0]) == 8 * 4 * 2  # warmup + train collects
+
+    evaluator = population.make_population_eval(env, 4, 20)
+    stats = evaluator(states.sac, airframes, jax.random.split(jax.random.key(2), 4))
+    assert stats.return_mean.shape == (4,)
+
+
+def test_collect_shapes_and_hidden_reset(env):
+    cfg = post_training.DistillConfig(envs_per_teacher=4, rollout_length=30)
+    K = 3
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    env_params = population.broadcast_airframe_to_envs(airframes, 4)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    student = student_net.init_params(jax.random.key(2))
+    collect = post_training.make_collect(env, cfg)
+    data = collect(student, teachers, env_params, jax.random.key(3), 0.5)
+    assert data.obs.shape == (30, 12, 22)
+    assert data.teacher_action.shape == (30, 12, 4)
+    assert data.reset.shape == (30, 12)
+    assert np.all(np.isfinite(np.asarray(data.obs)))
+    # teacher labels are mean-tanh actions => within (-1, 1)
+    assert np.max(np.abs(np.asarray(data.teacher_action))) < 1.0
+
+
+def test_bptt_loss_reset_masking():
+    """With reset=1 everywhere, the loss equals per-step (h0) prediction."""
+    student = student_net.init_params(jax.random.key(0))
+    T, B = 5, 3
+    obs = jax.random.normal(jax.random.key(1), (T, B, 22))
+    label = jnp.zeros((T, B, 4))
+    all_reset = jnp.ones((T, B))
+    loss_reset = post_training.bptt_loss(student, obs, label, all_reset)
+    # manual: every step from h0
+    h0 = student_net.initial_hidden(student, B)
+    preds = jnp.stack(
+        [student_net.apply_step(student, h0, obs[t])[1] for t in range(T)]
+    )
+    expect = float(jnp.mean(preds**2))
+    assert abs(float(loss_reset) - expect) < 1e-6
+    # and differs from the no-reset (carried-hidden) loss
+    loss_carry = post_training.bptt_loss(student, obs, label, jnp.zeros((T, B)))
+    assert abs(float(loss_carry) - expect) > 1e-8
+
+
+def test_distill_reduces_loss(env):
+    """Student distills toward fixed teachers: loss decreases over rounds."""
+    K = 2
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=8,
+        rollout_length=50,
+        epochs_per_round=2,
+        batch_size=8,
+        teacher_mix_decay_rounds=2,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    losses_log = []
+    student, history = post_training.distill(
+        jax.random.key(2),
+        env,
+        teachers,
+        airframes,
+        cfg,
+        n_rounds=4,
+        log_fn=lambda tag, v, s: losses_log.append(v),
+    )
+    assert len(history) == 8  # 4 rounds x 2 epochs
+    assert history[-1] < history[0] * 0.8, history
+    assert np.all(np.isfinite(history))
