@@ -1,0 +1,125 @@
+"""CLI: distillation post-training — the reference
+`foundation_policy_post_training` (README:208).
+
+Reads a teacher-checkpoint manifest (the `checkpoints.txt` emitted by
+pre_training, mirroring `extract_checkpoints.sh`'s `checkpoints_*.txt`,
+README:213-215), distills the GRU student across the teacher population,
+logs the reference's tfevents tags (`loss`, `evaluation/*`, `crazyflie/*`),
+and exports the student in the reference h5 schema with golden example I/O.
+
+    python -m raptor_tpu.apps.post_training experiments/<...>/checkpoints.txt --rounds 40
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.checkpoint import h5 as ckpt_h5
+from raptor_tpu.distill import post_training
+from raptor_tpu.env import EnvConfig, L2F, presets
+from raptor_tpu.env.io import load_params_json
+from raptor_tpu.rl import evaluation
+from raptor_tpu.utils.extrack import Run
+
+
+def load_teachers(manifest_path: str):
+    with open(manifest_path) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    actors = [ckpt_h5.load_mlp_actor(p) for p in paths]
+    frames = [load_params_json(p.replace(".h5", "_dynamics.json")) for p in paths]
+    teacher_actors = jax.tree.map(lambda *xs: jnp.stack(xs), *actors)
+    airframes = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    return teacher_actors, airframes
+
+
+def evaluate_student(env, student, airframes, key, n_envs_per=8, episode_length=None):
+    """Aggregate 5-stat eval of the recurrent student across airframes."""
+    k_shape = jax.tree.leaves(airframes)[0].shape[0]
+    params = jax.tree.map(
+        lambda x: jnp.repeat(x, n_envs_per, axis=0), airframes
+    )
+    m = k_shape * n_envs_per
+    step_fn, carry = evaluation.gru_policy_step(student, m)
+    return evaluation.evaluate(
+        env, params, step_fn, carry, key, m, episode_length
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("manifest", help="teacher checkpoints.txt")
+    p.add_argument("--rounds", type=int, default=40)
+    p.add_argument("--envs-per-teacher", type=int, default=8)
+    p.add_argument("--epochs-per-round", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--experiments-dir", default="experiments")
+    p.add_argument("--eval-every-rounds", type=int, default=5)
+    args = p.parse_args(argv)
+
+    env = L2F(EnvConfig())
+    teacher_actors, airframes = load_teachers(args.manifest)
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=args.envs_per_teacher,
+        epochs_per_round=args.epochs_per_round,
+        rollout_length=env.EPISODE_LENGTH,
+    )
+    run = Run(base_dir=args.experiments_dir, name="post_training")
+    run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})
+
+    # held-out airframe (the reference's `crazyflie/*` tags)
+    crazyflie = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), presets.crazyflie()
+    )
+    k_eval = jax.random.key(args.seed + 1)
+
+    def log_fn(tag, value, step):
+        run.writer.scalar(tag, value, step)
+
+    def round_hook(r, student, env_steps):
+        if (r + 1) % args.eval_every_rounds:
+            return
+        stats = evaluate_student(env, student, airframes, k_eval)
+        cf = evaluate_student(env, student, crazyflie, k_eval, n_envs_per=16)
+        run.log(
+            {
+                "evaluation/return/mean": float(stats.return_mean),
+                "evaluation/return/std": float(stats.return_std),
+                "evaluation/episode_length/mean": float(stats.episode_length_mean),
+                "evaluation/episode_length/std": float(stats.episode_length_std),
+                "evaluation/share_terminated": float(stats.share_terminated),
+                "crazyflie/return/mean": float(cf.return_mean),
+                "crazyflie/episode_length/mean": float(cf.episode_length_mean),
+                "crazyflie/share_terminated": float(cf.share_terminated),
+            },
+            env_steps,
+        )
+        # periodic checkpoint (reference: checkpoint per eval cadence)
+        path = run.checkpoint_path(env_steps)
+        ckpt_h5.save_actor(path, student, checkpoint_name=run.name)
+
+    student, history = post_training.distill(
+        jax.random.key(args.seed),
+        env,
+        teacher_actors,
+        airframes,
+        cfg,
+        n_rounds=args.rounds,
+        log_fn=log_fn,
+        round_hook=round_hook,
+    )
+
+    final_path = run.checkpoint_path(0).replace("000000000000", "final")
+    ckpt_h5.save_actor(final_path, student, checkpoint_name=run.name)
+    err = ckpt_h5.verify_checkpoint(final_path)
+    run.close()
+    print(f"student: {final_path}  self-test max-err: {err:.2e}  "
+          f"final loss: {history[-1]:.4f}")
+    return final_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""CLI: SAC teacher pre-training — the reference `foundation_policy_pre_training`
+(README:207) redesigned for TPU.
+
+Two modes:
+- single-airframe (reference-compatible):
+    python -m raptor_tpu.apps.pre_training dynamics_parameters/7.json
+- population mode (the idiomatic TPU path — K teachers as ONE program,
+  replacing the `seq 0 999 | xargs` process farm):
+    python -m raptor_tpu.apps.pre_training --population 64 --super-steps 500
+
+Teacher checkpoints land in extrack run dirs
+(`experiments/<EXPERIMENT>/<timestamp>_teacher{i}/checkpoints/...h5`), and a
+manifest `checkpoints.txt` is written for post-training (the reference's
+`extract_checkpoints.sh` output, README:213-215).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from raptor_tpu.checkpoint import h5 as ckpt_h5
+from raptor_tpu.distill import population
+from raptor_tpu.env import EnvConfig, L2F
+from raptor_tpu.env.io import load_params_json, params_to_dict, save_params_json
+from raptor_tpu.rl import sac
+from raptor_tpu.utils.extrack import Run
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("dynamics_json", nargs="*", help="airframe JSON file(s)")
+    p.add_argument("--population", type=int, default=0,
+                   help="sample K fresh airframes instead of reading JSONs")
+    p.add_argument("--envs-per-teacher", type=int, default=32)
+    p.add_argument("--super-steps", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--experiments-dir", default="experiments")
+    p.add_argument("--eval-every", type=int, default=20)
+    args = p.parse_args(argv)
+
+    env = L2F(EnvConfig())
+    key = jax.random.key(args.seed)
+    k_air, k_init, k_eval = jax.random.split(key, 3)
+
+    if args.population:
+        airframes = population.sample_teacher_airframes(k_air, args.population)
+        n_teachers = args.population
+    else:
+        if not args.dynamics_json:
+            p.error("pass dynamics JSON files or --population K")
+        frames = [load_params_json(f) for f in args.dynamics_json]
+        airframes = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *frames)
+        n_teachers = len(frames)
+
+    pop_cfg = population.PopulationConfig(
+        n_teachers=n_teachers, envs_per_teacher=args.envs_per_teacher
+    )
+    sac_cfg = sac.SACConfig()
+    states, env_params, run_cfg = population.population_init(
+        k_init, env, airframes, pop_cfg, sac_cfg
+    )
+    warmup = population.make_population_warmup(env, run_cfg)
+    super_step = population.make_population_super_step(env, run_cfg, sac_cfg)
+    evaluator = population.make_population_eval(env, 8, env.EPISODE_LENGTH)
+
+    run = Run(base_dir=args.experiments_dir, name="pre_training")
+    run.snapshot_config(
+        {
+            "pop_cfg": pop_cfg,
+            "sac_cfg": sac_cfg,
+            "seed": args.seed,
+            "airframes": [
+                params_to_dict(jax.tree.map(lambda x: x[i], airframes))
+                for i in range(min(n_teachers, 8))
+            ],
+        }
+    )
+
+    for _ in range(pop_cfg.warmup_super_steps):
+        states = warmup(states, env_params)
+    env_steps_per = run_cfg.rollout_length * run_cfg.n_envs
+    for i in range(args.super_steps):
+        states, metrics = super_step(states, env_params)
+        step = (i + 1) * env_steps_per
+        run.log(
+            {
+                "critic_loss/mean": float(np.mean(np.asarray(metrics.critic_loss))),
+                "actor_loss/mean": float(np.mean(np.asarray(metrics.actor_loss))),
+                "alpha/mean": float(np.mean(np.asarray(metrics.alpha))),
+            },
+            step,
+        )
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            stats = evaluator(
+                states.sac, airframes, jax.random.split(k_eval, n_teachers)
+            )
+            run.log(
+                {
+                    "evaluation/return/mean": float(np.mean(np.asarray(stats.return_mean))),
+                    "evaluation/return/std": float(np.mean(np.asarray(stats.return_std))),
+                    "evaluation/episode_length/mean": float(
+                        np.mean(np.asarray(stats.episode_length_mean))
+                    ),
+                    "evaluation/share_terminated": float(
+                        np.mean(np.asarray(stats.share_terminated))
+                    ),
+                },
+                step,
+            )
+
+    # export per-teacher checkpoints + manifest for post-training
+    manifest = []
+    for i in range(n_teachers):
+        actor_i = jax.tree.map(lambda x: np.asarray(x[i]), states.sac.actor)
+        path = run.checkpoint_path(args.super_steps * env_steps_per)
+        path = path.replace(".h5", f"_teacher{i}.h5")
+        ckpt_h5.save_mlp_actor(path, actor_i, meta={"teacher_index": i})
+        frame_path = path.replace(".h5", "_dynamics.json")
+        save_params_json(frame_path, jax.tree.map(lambda x: x[i], airframes))
+        manifest.append(path)
+    manifest_path = os.path.join(run.dir, "checkpoints.txt")
+    with open(manifest_path, "w") as f:
+        f.write("\n".join(manifest) + "\n")
+    run.close()
+    print(f"teachers: {n_teachers}  manifest: {manifest_path}")
+    return manifest_path
+
+
+if __name__ == "__main__":
+    main()

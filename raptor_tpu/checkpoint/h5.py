@@ -136,6 +136,44 @@ def save_actor(
         ex.create_dataset("output", data=np.asarray(example_output, np.float32))
 
 
+def save_mlp_actor(path: str, actor_params: Dict[str, Any], meta: Optional[dict] = None):
+    """Save a feedforward (teacher) actor: groups actor/layers/{i}/{weights,
+    biases}/parameters with an `mlp` type attr — same schema family as the
+    sequential GRU checkpoint (§A.1) so tooling can introspect either."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        actor = f.create_group("actor")
+        actor.attrs["type"] = "mlp"
+        if meta is not None:
+            actor.attrs["meta"] = json.dumps(meta)
+        layers = actor.create_group("layers")
+        for i, layer in enumerate(actor_params["layers"]):
+            g = layers.create_group(str(i))
+            g.create_group("weights").create_dataset(
+                "parameters", data=np.asarray(layer["w"], np.float32)
+            )
+            g.create_group("biases").create_dataset(
+                "parameters", data=np.asarray(layer["b"], np.float32)
+            )
+
+
+def load_mlp_actor(path: str) -> Dict[str, Any]:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        layers_g = f["actor"]["layers"]
+        layers = []
+        for i in sorted(layers_g.keys(), key=int):
+            layers.append(
+                {
+                    "w": np.asarray(layers_g[i]["weights"]["parameters"], np.float32),
+                    "b": np.asarray(layers_g[i]["biases"]["parameters"], np.float32),
+                }
+            )
+    return {"layers": layers}
+
+
 def verify_checkpoint(path: str, atol: float = 1e-5) -> float:
     """Self-verify a checkpoint against its embedded golden I/O.
 

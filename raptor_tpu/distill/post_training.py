@@ -145,9 +145,10 @@ def make_train_epoch(cfg: DistillConfig):
 
     def train_epoch(student_params, opt_state, data: RoundData, key):
         T, B = data.obs.shape[0], data.obs.shape[1]
-        n_batches = max(B // cfg.batch_size, 1)
-        perm = jax.random.permutation(key, B)[: n_batches * cfg.batch_size]
-        perm = perm.reshape(n_batches, cfg.batch_size)
+        bs = min(cfg.batch_size, B)
+        n_batches = B // bs
+        perm = jax.random.permutation(key, B)[: n_batches * bs]
+        perm = perm.reshape(n_batches, bs)
 
         def step(carry, idx):
             params, opt = carry
