@@ -1,0 +1,111 @@
+"""Build + ctypes binding for the native (C++) inference executor.
+
+Pipeline: export the policy to a standalone C++ header
+(`checkpoint.code_export`), compile `native/executor.cpp` against it with
+g++ into a shared library, and drive it through ctypes — the same artifact
+chain as the reference's firmware deployment (policy.h blob + executor +
+C ABI, README:107-167), testable on the host.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_EXECUTOR_CPP = os.path.join(_REPO_ROOT, "native", "executor.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, ".cache", "native")
+
+
+def build_executor(policy_header_path: str, out_path: Optional[str] = None) -> str:
+    """Compile the executor against a generated policy header; returns the
+    .so path (cached by content hash)."""
+    with open(policy_header_path, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so_path = out_path or os.path.join(_BUILD_DIR, f"libraptor_executor_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        "-include", policy_header_path,
+        _EXECUTOR_CPP, "-o", so_path,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return so_path
+
+
+class NativeExecutor:
+    """ctypes wrapper over the compiled executor shared library."""
+
+    STATUS_TIMING_L1 = 1 << 0
+    STATUS_TIMING_L2 = 1 << 1
+    STATUS_TIMING_L3 = 1 << 2
+    STATUS_SELF_TEST_FAILED = 1 << 3
+
+    def __init__(self, so_path: str, skip_test: bool = False):
+        self.lib = ctypes.CDLL(so_path)
+        self.lib.raptor_inference_init.argtypes = [ctypes.c_int]
+        self.lib.raptor_inference_init.restype = ctypes.c_int
+        self.lib.raptor_inference_l2f_control.argtypes = [
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        self.lib.raptor_inference_l2f_control.restype = ctypes.c_int
+        self.lib.raptor_inference_self_test.restype = ctypes.c_float
+        self.lib.raptor_inference_timing_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        self.lib.raptor_inference_call_count.restype = ctypes.c_uint64
+        self.lib.raptor_inference_configure.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+        ]
+        status = self.lib.raptor_inference_init(1 if skip_test else 0)
+        if status:
+            raise RuntimeError(f"native executor init failed: status={status}")
+
+    def configure(
+        self,
+        intermediate_ns: int = 2_500_000,
+        native_ns: int = 10_000_000,
+        force_sync_native: int = 4,
+        timing_window: int = 100,
+    ):
+        self.lib.raptor_inference_configure(
+            intermediate_ns, native_ns, force_sync_native, timing_window
+        )
+
+    def reset(self):
+        self.lib.raptor_inference_reset()
+
+    def control(self, time_us: int, observation: np.ndarray) -> tuple[np.ndarray, int]:
+        obs = np.ascontiguousarray(observation, np.float32)
+        action = np.zeros(4, np.float32)
+        status = self.lib.raptor_inference_l2f_control(
+            int(time_us),
+            obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            action.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return action, status
+
+    def self_test(self) -> float:
+        return float(self.lib.raptor_inference_self_test())
+
+    def timing_stats(self) -> tuple[float, float]:
+        mean = ctypes.c_double()
+        mx = ctypes.c_double()
+        self.lib.raptor_inference_timing_stats(
+            ctypes.byref(mean), ctypes.byref(mx)
+        )
+        return mean.value, mx.value
+
+    @property
+    def call_count(self) -> int:
+        return int(self.lib.raptor_inference_call_count())
