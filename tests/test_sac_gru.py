@@ -1,0 +1,87 @@
+"""Recurrent SAC: BPTT update mechanics + sequence runner integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.env import EnvConfig, L2F, sample_population
+from raptor_tpu.rl import runner_gru, sac_gru
+
+
+def _fake_batch(key, B=4, T=8, obs_dim=22, act_dim=4):
+    ks = jax.random.split(key, 5)
+    return {
+        "obs": jax.random.normal(ks[0], (B, T, obs_dim)),
+        "action": jnp.tanh(jax.random.normal(ks[1], (B, T, act_dim))),
+        "reward": jax.random.normal(ks[2], (B, T)),
+        "done": jnp.zeros((B, T)),
+        "reset": (jax.random.uniform(ks[3], (B, T)) < 0.1).astype(jnp.float32),
+        "env_idx": jnp.zeros((B,), jnp.int32),
+    }
+
+
+def test_sac_gru_update_moves_params():
+    state = sac_gru.sac_gru_init(jax.random.key(0), 22, 4)
+    batch = _fake_batch(jax.random.key(1))
+    new_state, metrics = jax.jit(sac_gru.sac_gru_update)(
+        state, jax.random.key(2), batch
+    )
+    assert int(new_state.step) == 1
+    for m in metrics:
+        assert np.isfinite(float(m))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.actor, new_state.actor
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_actor_backbone_matches_foundation_topology():
+    """The recurrent actor backbone has the foundation policy's shapes
+    (Dense 22->16, GRU 16) with a 8-dim Gaussian head."""
+    state = sac_gru.sac_gru_init(jax.random.key(0), 22, 4)
+    a = state.actor
+    assert a["dense_0"]["weights"].shape == (16, 22)
+    assert a["gru_1"]["weights_input"].shape == (48, 16)
+    assert a["dense_2"]["weights"].shape == (8, 16)
+
+
+def test_boundary_masking_excludes_cross_episode_targets():
+    """A reward spike right before an episode boundary must not leak into
+    the critic loss when the boundary is masked."""
+    state = sac_gru.sac_gru_init(jax.random.key(0), 6, 2)
+    B, T = 2, 6
+    base = _fake_batch(jax.random.key(1), B=B, T=T, obs_dim=6, act_dim=2)
+    base["reset"] = jnp.zeros((B, T))
+    # episode boundary at t=3 for batch row 0
+    b1 = dict(base, reset=base["reset"].at[0, 3].set(1.0))
+    # gigantic reward at the transition INTO the boundary (t=2 -> t=3)
+    b1_spiked = dict(b1, reward=b1["reward"].at[0, 2].set(1e6))
+
+    def critic_loss_of(batch):
+        _, metrics = sac_gru.sac_gru_update(state, jax.random.key(3), batch)
+        return float(metrics.critic_loss)
+
+    # the spiked reward sits on a masked transition: loss unchanged
+    assert abs(critic_loss_of(b1) - critic_loss_of(b1_spiked)) < 1e-3
+    # but the same spike on a valid transition changes the loss massively
+    b2_spiked = dict(base, reward=base["reward"].at[0, 4].set(1e6))
+    assert abs(critic_loss_of(base) - critic_loss_of(b2_spiked)) > 1e6
+
+
+def test_gru_runner_super_step():
+    env = L2F(EnvConfig())
+    run_cfg = runner_gru.GRURunnerConfig(
+        n_envs=8, rollout_length=8, gradient_steps=2, batch_size=4,
+        sample_seq_len=8, replay_capacity=64,
+    )
+    cfg = sac_gru.SACGRUConfig()
+    params = sample_population(jax.random.key(0), run_cfg.n_envs)
+    state = runner_gru.gru_trainer_init(jax.random.key(1), env, params, run_cfg, cfg)
+    super_step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
+    state, metrics = super_step(state, params)
+    state, metrics = super_step(state, params)
+    assert np.isfinite(float(metrics.critic_loss))
+    assert int(state.total_env_steps) == 2 * 8 * 8
+    assert int(state.buffer.size) == 16
+    # hidden carried across the super-step boundary
+    assert state.hidden.shape == (8, 16)
