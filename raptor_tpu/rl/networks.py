@@ -51,6 +51,43 @@ def mlp_apply(params: Params, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.nda
 
 
 # ---------------------------------------------------------------------------
+# standardize layer (reference nn/layers/standardize, README:114): input
+# normalization that can be folded into the first dense layer at export time
+# ---------------------------------------------------------------------------
+
+
+def standardize_init(dim: int) -> Params:
+    return {
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "std": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def standardize_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return (x - params["mean"]) / params["std"]
+
+
+def standardize_from_batch(x: jnp.ndarray, eps: float = 1e-6) -> Params:
+    """Fit mean/std over the leading axes of a data batch."""
+    axes = tuple(range(x.ndim - 1))
+    return {
+        "mean": jnp.mean(x, axis=axes),
+        "std": jnp.std(x, axis=axes) + eps,
+    }
+
+
+def fold_standardize_into_dense(std_params: Params, dense: Params) -> Params:
+    """Fold (x-mean)/std into a following dense layer {w:[in,out], b:[out]}
+    so the deployed network needs no separate standardize op (the
+    reference's deployed policy has the normalizer folded in, SURVEY §3.2).
+    """
+    w, b = dense["w"], dense["b"]
+    w_new = w / std_params["std"][:, None]
+    b_new = b - (std_params["mean"] / std_params["std"]) @ w
+    return {"w": w_new, "b": b_new}
+
+
+# ---------------------------------------------------------------------------
 # actor: obs -> (mu, log_std); sample-and-squash head
 # ---------------------------------------------------------------------------
 
