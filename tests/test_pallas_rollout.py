@@ -50,10 +50,15 @@ def test_fused_matches_xla_rollout(setup):
     steps = 20
     ref = xla_rollout(params, state, steps)
 
-    # Pallas path in interpret mode (CPU test environment)
+    # Pallas path in interpret mode (CPU test environment); disable the
+    # in-kernel termination freeze so it matches the raw XLA integrator
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
-        got = pr.fused_rollout(params, state, action, steps)
+        got, alive, length = pr.fused_rollout(
+            params, state, action, steps, pos_bound=1e9, angvel_bound=1e9
+        )
+    assert np.all(np.asarray(alive) == 1.0)
+    assert np.all(np.asarray(length) == steps)
 
     for name in ["position", "orientation", "linear_velocity",
                  "angular_velocity", "rpm"]:
