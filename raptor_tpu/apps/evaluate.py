@@ -21,6 +21,9 @@ from raptor_tpu.rl import evaluation
 
 
 def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("checkpoint", nargs="?", help="reference-schema .h5 policy")
     p.add_argument("--shipped", action="store_true",

@@ -50,6 +50,9 @@ def evaluate_student(env, student, airframes, key, n_envs_per=8, episode_length=
 
 
 def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("manifest", help="teacher checkpoints.txt")
     p.add_argument("--rounds", type=int, default=40)

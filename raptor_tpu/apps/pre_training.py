@@ -31,6 +31,9 @@ from raptor_tpu.utils.extrack import Run
 
 
 def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("dynamics_json", nargs="*", help="airframe JSON file(s)")
     p.add_argument("--population", type=int, default=0,

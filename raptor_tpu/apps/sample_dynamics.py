@@ -18,6 +18,9 @@ from raptor_tpu.env.randomization import RandomizationConfig, sample_dynamics_pa
 
 
 def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--out", default="dynamics_parameters")
