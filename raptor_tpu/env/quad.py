@@ -42,12 +42,24 @@ from raptor_tpu.env.types import (
 
 
 class EnvState(struct.PyTreeNode):
-    """Per-env episode state carried by the runner (one env; vmapped)."""
+    """Per-env episode state carried by the runner (one env; vmapped).
+
+    Histories implement the reference obs-spec generality (ckpt.h5 meta
+    string `...AngularVelocityDelayed(d).ActionHistory(h)`): action_history
+    holds the last h actions (oldest first), angvel_history holds d+1
+    angular-velocity samples (oldest first; element 0 is the d-step-delayed
+    one used in the observation)."""
 
     dynamics: State
-    prev_action: jnp.ndarray  # [4] last normalized motor command
+    action_history: jnp.ndarray  # [h, 4] oldest -> newest
+    angvel_history: jnp.ndarray  # [d+1, 3] oldest -> newest
     t: jnp.ndarray  # [] int32 steps since episode start
     key: jax.Array  # per-env RNG stream
+
+    @property
+    def prev_action(self) -> jnp.ndarray:
+        """[4] most recent normalized motor command."""
+        return self.action_history[-1]
 
 
 class L2F:
@@ -129,17 +141,31 @@ class L2F:
         self,
         params: DynamicsParams,
         state: State,
-        prev_action: jnp.ndarray,
+        action_history: jnp.ndarray,  # [4] (h==1 shorthand) or [h, 4]
         key: Optional[jax.Array] = None,
+        angvel_history: Optional[jnp.ndarray] = None,  # [d+1, 3]
     ) -> jnp.ndarray:
-        """Assemble the observation vector (policy obs + privileged tail)."""
+        """Assemble the observation vector (policy obs + privileged tail).
+
+        Layout: Position(3) . RotationMatrix(9) . LinearVelocity(3) .
+        AngularVelocityDelayed(d)(3) . ActionHistory(h)(4h) [. privileged]
+        — the reference meta-string contract (ckpt.h5::actor@meta)."""
+        h = self.config.observation.action_history_length
+        if action_history.ndim == 1:
+            assert h == 1, "pass the full [h,4] history when h > 1"
+            action_history = action_history[None]
+        angvel = (
+            state.angular_velocity
+            if angvel_history is None
+            else angvel_history[0]
+        )
         rotm = maths.quat_to_rotm(state.orientation)
         parts = [
             state.position,
             rotm.reshape(9),
             state.linear_velocity,
-            state.angular_velocity,
-            prev_action,
+            angvel,
+            action_history.reshape(-1),
         ]
         if self.config.observation.privileged:
             parts.append(self.privileged_tail(params))
@@ -186,14 +212,22 @@ class L2F:
     ) -> Tuple[EnvState, jnp.ndarray]:
         k_state, k_carry = jax.random.split(key)
         state = self.sample_state(k_state, params)
-        prev_action = jnp.zeros((4,), jnp.float32)
+        h = self.config.observation.action_history_length
+        d = self.config.observation.angular_velocity_delay
+        action_history = jnp.zeros((h, 4), jnp.float32)
+        angvel_history = jnp.broadcast_to(
+            state.angular_velocity, (d + 1, 3)
+        ).astype(jnp.float32)
         es = EnvState(
             dynamics=state,
-            prev_action=prev_action,
+            action_history=action_history,
+            angvel_history=angvel_history,
             t=jnp.int32(0),
             key=k_carry,
         )
-        return es, self.observe(params, state, prev_action)
+        return es, self.observe(
+            params, state, action_history, angvel_history=angvel_history
+        )
 
     def dynamics_step(
         self,
@@ -241,19 +275,36 @@ class L2F:
         done = terminated | truncated
 
         reset_es, _ = self.reset(key_reset, params)
+        action_history = jnp.concatenate(
+            [es.action_history[1:], action[None]], axis=0
+        )
+        angvel_history = jnp.concatenate(
+            [es.angvel_history[1:], next_state.angular_velocity[None]], axis=0
+        )
         cont_es = EnvState(
-            dynamics=next_state, prev_action=action, t=t_next, key=key_carry
+            dynamics=next_state,
+            action_history=action_history,
+            angvel_history=angvel_history,
+            t=t_next,
+            key=key_carry,
         )
         next_es = jax.tree.map(
             lambda r, c: jnp.where(done, r, c), reset_es, cont_es
         )
-        obs = self.observe(params, next_es.dynamics, next_es.prev_action)
+        obs = self.observe(
+            params,
+            next_es.dynamics,
+            next_es.action_history,
+            angvel_history=next_es.angvel_history,
+        )
         info = {
             "terminated": terminated,
             "truncated": truncated,
             # observation of the true (pre-reset) next state, for correct
             # bootstrapping in off-policy updates
-            "final_obs": self.observe(params, next_state, action),
+            "final_obs": self.observe(
+                params, next_state, action_history, angvel_history=angvel_history
+            ),
         }
         return next_es, obs, reward, done, info
 

@@ -115,6 +115,7 @@ class ObservationConfig:
     """
 
     action_history_length: int = 1
+    angular_velocity_delay: int = 0  # AngularVelocityDelayed(d)
     privileged: bool = True  # append normalized params tail
 
 

@@ -185,7 +185,8 @@ def test_termination_and_autoreset(env):
     es = EnvState(
         dynamics=bad.replace(position=jnp.array([0.59, 0.0, 0.0]),
                              linear_velocity=jnp.array([50.0, 0.0, 0.0])),
-        prev_action=jnp.zeros(4),
+        action_history=jnp.zeros((1, 4)),
+        angvel_history=jnp.zeros((1, 3)),
         t=jnp.int32(3),
         key=jax.random.key(1),
     )
@@ -219,3 +220,37 @@ def test_reward_scale_near_hover(env):
     next_state, _ = env.dynamics_step(params, state, action)
     r = float(env.reward(params, state, action, next_state))
     assert 1.0 < r <= 1.6
+
+
+def test_action_history_and_angvel_delay():
+    """ActionHistory(h>1) + AngularVelocityDelayed(d>0) obs-spec variants."""
+    from raptor_tpu.env.types import ObservationConfig
+
+    cfg = EnvConfig(
+        observation=ObservationConfig(
+            action_history_length=3, angular_velocity_delay=2, privileged=False
+        )
+    )
+    env2 = L2F(cfg)
+    assert env2.OBSERVATION_DIM == 18 + 4 * 3
+    params = presets.crazyflie()
+    es, obs = env2.reset(jax.random.key(0), params)
+    assert es.action_history.shape == (3, 4)
+    assert es.angvel_history.shape == (3, 3)
+    # step with distinct actions; history must roll oldest -> newest
+    a1 = jnp.full((4,), 0.1)
+    a2 = jnp.full((4,), 0.2)
+    es, obs, *_ = env2.step(params, es, a1)
+    es, obs, *_ = env2.step(params, es, a2)
+    hist = np.asarray(es.action_history)
+    np.testing.assert_allclose(hist[0], np.zeros(4), atol=1e-7)
+    np.testing.assert_allclose(hist[1], 0.1, atol=1e-7)
+    np.testing.assert_allclose(hist[2], 0.2, atol=1e-7)
+    # obs tail is the flattened history
+    np.testing.assert_allclose(np.asarray(obs)[18:30], hist.reshape(-1), atol=1e-7)
+    # the delayed angular velocity in obs equals the 2-step-old sample
+    np.testing.assert_allclose(
+        np.asarray(obs)[15:18], np.asarray(es.angvel_history)[0], atol=1e-7
+    )
+    # prev_action property
+    np.testing.assert_allclose(np.asarray(es.prev_action), 0.2, atol=1e-7)
