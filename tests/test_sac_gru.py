@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raptor_tpu.env import EnvConfig, L2F, sample_population
 from raptor_tpu.rl import runner_gru, sac_gru
@@ -85,3 +86,41 @@ def test_gru_runner_super_step():
     assert int(state.buffer.size) == 16
     # hidden carried across the super-step boundary
     assert state.hidden.shape == (8, 16)
+
+
+@pytest.mark.slow
+def test_sac_gru_learns_hover():
+    """Recurrent SAC improves eval return on fixed crazyflie hover."""
+    from raptor_tpu.env import EnvConfig, InitConfig, presets
+    from raptor_tpu.policy import network as gru_net
+    from raptor_tpu.rl import evaluation
+    import pytest  # noqa: F811
+
+    env = L2F(EnvConfig(
+        episode_length=100,
+        init=InitConfig(position_range=0.1, max_angle=0.3,
+                        linear_velocity_std=0.05, angular_velocity_std=0.05)))
+    run_cfg = runner_gru.GRURunnerConfig(
+        n_envs=32, rollout_length=25, gradient_steps=8,
+        batch_size=16, sample_seq_len=25, replay_capacity=2048)
+    cfg = sac_gru.SACGRUConfig()
+    params1 = presets.crazyflie()
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x, (32,) + x.shape), params1)
+    state = runner_gru.gru_trainer_init(jax.random.key(0), env, params, run_cfg, cfg)
+    step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
+
+    def ev(learner):
+        m = 16
+        pe = jax.tree.map(lambda x: jnp.broadcast_to(x, (m,) + x.shape), params1)
+        sf = sac_gru.recurrent_actor_step(learner.actor, cfg)
+        stats = evaluation.evaluate(
+            env, pe, lambda h, o: sf(h, o[..., :22]),
+            gru_net.initial_hidden(learner.actor, m), jax.random.key(7), m, 100)
+        return float(stats.return_mean)
+
+    before = ev(state.learner)
+    for _ in range(100):
+        state, metrics = step(state, params)
+    after = ev(state.learner)
+    assert np.isfinite(after)
+    assert after > before + 15.0, f"no learning: {before} -> {after}"
