@@ -1,1 +1,13 @@
-from raptor_tpu.rl import evaluation, networks, replay, runner, sac  # noqa: F401
+from raptor_tpu.rl import (  # noqa: F401
+    evaluation,
+    loop,
+    networks,
+    ppo,
+    replay,
+    runner,
+    runner_generic,
+    runner_gru,
+    sac,
+    sac_gru,
+    td3,
+)
