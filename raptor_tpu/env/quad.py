@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from raptor_tpu.env import dynamics, maths, randomization
-from raptor_tpu.env.types import (
+from raptor_tpu.env.types import (  # noqa: F401
     POLICY_OBS_DIM,
     DynamicsParams,
     EnvConfig,

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def initialize_distributed(
