@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--envs-per-airframe", type=int, default=8)
     p.add_argument("--episode-length", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused policy+env eval kernel")
     args = p.parse_args(argv)
 
     if args.shipped or not args.checkpoint:
@@ -53,10 +55,35 @@ def main(argv=None):
         lambda x: jnp.repeat(x, args.envs_per_airframe, axis=0), frames
     )
     m = jax.tree.leaves(stacked)[0].shape[0]
+    t_max = args.episode_length or env.EPISODE_LENGTH
+    if args.fused:
+        from raptor_tpu.ops import pallas_eval
+
+        v_reset, _ = env.vector_ops()
+        es, _ = v_reset(
+            jax.random.split(jax.random.key(args.seed + 1), m), stacked
+        )
+        _, alive, length, ret = pallas_eval.fused_policy_eval(
+            params, stacked, es.dynamics, t_max,
+            reward_config=env.config.reward,
+        )
+        out = {
+            "checkpoint": args.checkpoint,
+            "airframe": args.airframe,
+            "episodes": m,
+            "kernel": "fused",
+            "return/mean": float(jnp.mean(ret)),
+            "return/std": float(jnp.std(ret)),
+            "episode_length/mean": float(jnp.mean(length)),
+            "episode_length/std": float(jnp.std(length)),
+            "share_terminated": float(1.0 - jnp.mean(alive)),
+        }
+        print(json.dumps(out, indent=2))
+        return out
     step_fn, carry = evaluation.gru_policy_step(params, m)
     stats = evaluation.evaluate(
         env, stacked, step_fn, carry, jax.random.key(args.seed + 1), m,
-        args.episode_length or None,
+        t_max,
     )
     out = {
         "checkpoint": args.checkpoint,

@@ -130,10 +130,14 @@ def _eval_kernel(
     rpm_min, rpm_max = P[39], P[40]
     hover = _hover_action_tiles(P)
     state0 = tuple(state_ref[i] for i in range(N_STATE))
-    zeros = jnp.zeros_like(state0[0])
+    # derive loop-carry inits from tile data (x*0), not from broadcast
+    # constants: Mosaic gives constants a replicated layout, which cannot be
+    # relaid out at the fori_loop boundary ("Invalid relayout ... replicated
+    # in destination but not in source")
+    zeros = state0[0] * 0.0
     h0 = tuple(zeros + W["h0"][i] for i in range(len(W["h0"])))
     prev0 = (zeros, zeros, zeros, zeros)
-    carry0 = (state0, h0, prev0, jnp.ones_like(zeros), zeros, zeros)
+    carry0 = (state0, h0, prev0, zeros + 1.0, zeros, zeros)
 
     def step(_, carry):
         s, h, prev, alive, length, ret = carry
