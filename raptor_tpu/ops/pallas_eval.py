@@ -267,6 +267,7 @@ def fused_policy_eval(
     )
     out, stats = pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() != "tpu",  # CPU fallback for tests/CLI
         grid=grid,
         in_specs=[
             pl.BlockSpec((N_PARAM, block_rows, LANES), index_map,

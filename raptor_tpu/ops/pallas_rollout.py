@@ -279,6 +279,7 @@ def fused_rollout_packed(
     )
     return pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() != "tpu",  # CPU fallback for tests/CLI
         grid=grid,
         in_specs=[
             pl.BlockSpec((N_PARAM, block_rows, LANES), index_map,
