@@ -44,6 +44,7 @@ struct Executor {
     Config config;
     float hidden[raptor_checkpoint::HIDDEN_DIM];
     uint64_t last_call_ns = 0;
+    bool has_last_call = false;  // t=0 is a valid first timestamp (boot clocks)
     uint64_t call_count = 0;
     bool initialized = false;
     TimingStats stats;
@@ -59,7 +60,7 @@ constexpr int STATUS_BIT_SELF_TEST_FAILED = 1 << 3;
 constexpr int STATUS_BIT_NOT_INITIALIZED = 1 << 4;
 
 int timing_status(Executor& ex, uint64_t now_ns) {
-    if (ex.last_call_ns == 0) return STATUS_OK;
+    if (!ex.has_last_call) return STATUS_OK;
     const uint64_t dt = now_ns - ex.last_call_ns;
     const uint32_t n = ex.config.timing_stats_num_steps < 1024u
                            ? ex.config.timing_stats_num_steps
@@ -98,6 +99,7 @@ int raptor_inference_init(int skip_test) {
 void raptor_inference_reset() {
     raptor_checkpoint::reset(g_executor.hidden);
     g_executor.last_call_ns = 0;
+    g_executor.has_last_call = false;
     g_executor.call_count = 0;
     g_executor.stats = TimingStats{};
 }
@@ -112,6 +114,7 @@ int raptor_inference_l2f_control(uint64_t time_us, const float* observation,
     const uint64_t now_ns = time_us * 1000ull;
     int status = timing_status(ex, now_ns);
     ex.last_call_ns = now_ns;
+    ex.has_last_call = true;
     // commit the recurrent state only at the policy's native 100 Hz rate
     const bool commit =
         (ex.call_count % ex.config.force_sync_native) == 0;

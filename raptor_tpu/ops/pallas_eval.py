@@ -57,21 +57,26 @@ def _policy_step(W, obs, h):
             if w != 0.0:
                 acc = acc + w * o
         x.append(jnp.maximum(acc, 0.0))
-    gi = []
-    gh = []
-    for k in range(3 * H):
-        ai = W["bi"][k]
-        ah = W["bh"][k]
-        for j in range(H):
-            ai = ai + W["wi"][k][j] * x[j]
-            ah = ah + W["wh"][k][j] * h[j]
-        gi.append(ai)
-        gh.append(ah)
+    # streaming per-unit GRU: each hidden unit's six accumulators are
+    # consumed immediately, keeping the live tile set ~(x + h + h_new)
+    # instead of 96 gate pre-activations — Mosaic register pressure is the
+    # difference between vreg-resident and VMEM-spilled inner loops
     h_new = []
     for i in range(H):
-        r = _sigmoid(gi[i] + gh[i])
-        z = _sigmoid(gi[H + i] + gh[H + i])
-        n = jnp.tanh(gi[2 * H + i] + r * gh[2 * H + i])
+        gi_r, gh_r = W["bi"][i], W["bh"][i]
+        gi_z, gh_z = W["bi"][H + i], W["bh"][H + i]
+        gi_n, gh_n = W["bi"][2 * H + i], W["bh"][2 * H + i]
+        for j in range(H):
+            xj, hj = x[j], h[j]
+            gi_r = gi_r + W["wi"][i][j] * xj
+            gh_r = gh_r + W["wh"][i][j] * hj
+            gi_z = gi_z + W["wi"][H + i][j] * xj
+            gh_z = gh_z + W["wh"][H + i][j] * hj
+            gi_n = gi_n + W["wi"][2 * H + i][j] * xj
+            gh_n = gh_n + W["wh"][2 * H + i][j] * hj
+        r = _sigmoid(gi_r + gh_r)
+        z = _sigmoid(gi_z + gh_z)
+        n = jnp.tanh(gi_n + r * gh_n)
         h_new.append((1.0 - z) * n + z * h[i])
     action = []
     for i in range(len(W["b2"])):
@@ -229,7 +234,7 @@ def fused_policy_eval(
     pos_bound: float = 0.6,
     angvel_bound: float = 35.0,
     reward_config: RewardConfig = RewardConfig(),
-    block_rows: int = 64,
+    block_rows: int = 8,  # [8,128]-tile ops = 1 vreg each; small live set
 ):
     """Closed-loop eval of the foundation policy on N airframes.
 

@@ -58,6 +58,20 @@ def test_native_matches_python_executor_multirate(native):
     assert np.max(np.abs(outs[0] - outs[4])) > 1e-6 or np.max(np.abs(outs[4] - outs[7])) > 1e-7
 
 
+def test_first_interval_checked_from_t0(native):
+    """Boot clocks start at 0: the first interval must still be watched
+    (regression — a last_call==0 sentinel silently skipped it)."""
+    ex, *_ = native
+    ex.reset()
+    obs = np.zeros(22, np.float32)
+    _, s = ex.control(0, obs)
+    assert s == 0
+    _, s = ex.control(12_000, obs)  # 12 ms on a 2.5 ms contract -> L3
+    assert s & NativeExecutor.STATUS_TIMING_L3
+    mean_ns, _ = ex.timing_stats()
+    assert mean_ns == 12_000_000.0
+
+
 def test_timing_watchdog_levels(native):
     ex, *_ = native
     ex.reset()
