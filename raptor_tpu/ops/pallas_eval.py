@@ -234,7 +234,7 @@ def fused_policy_eval(
     pos_bound: float = 0.6,
     angvel_bound: float = 35.0,
     reward_config: RewardConfig = RewardConfig(),
-    block_rows: int = 8,  # [8,128]-tile ops = 1 vreg each; small live set
+    block_rows: int = 64,
 ):
     """Closed-loop eval of the foundation policy on N airframes.
 
