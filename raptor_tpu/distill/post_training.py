@@ -130,9 +130,8 @@ def bptt_loss(student_params, obs, teacher_action, reset):
         h, action = student_net.apply_step(student_params, h, obs_t)
         return h, action
 
-    # the first row of a collected round always starts fresh
-    resets = reset.at[0].set(jnp.ones_like(reset[0]))
-    # shift: reset[t] marks the NEXT row's episode start (done at t resets t+1)
+    # shift: reset[t] marks the NEXT row's episode start (done at t resets
+    # t+1); the first row of a collected round always starts fresh
     entering_reset = jnp.concatenate([jnp.ones((1, B)), reset[:-1]], axis=0)
     _, actions = jax.lax.scan(step, h0, (obs, entering_reset))
     return jnp.mean((actions - teacher_action) ** 2)

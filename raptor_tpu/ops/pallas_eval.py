@@ -255,7 +255,9 @@ def fused_policy_eval(
     pp = pack_params(params)
     sp = pack_state(state)
     rows = sp.shape[1]
-    block_rows = min(block_rows, rows)
+    from raptor_tpu.ops.pallas_rollout import _fit_block_rows
+
+    block_rows = _fit_block_rows(rows, block_rows)
     grid = (rows // block_rows,)
 
     def index_map(i):

@@ -52,6 +52,15 @@ def _pad(n: int) -> int:
     return -(-n // TILE) * TILE
 
 
+def _fit_block_rows(rows: int, requested: int) -> int:
+    """Largest divisor of `rows` not exceeding `requested` — a flooring
+    grid (rows // block) would silently drop the tail env blocks."""
+    b = min(requested, rows)
+    while rows % b:
+        b -= 1
+    return b
+
+
 def pack_state(state: State) -> jax.Array:
     """[N]-stacked State pytree -> [17, R, 128] f32."""
     n = state.position.shape[0]
@@ -234,7 +243,9 @@ def _rollout_kernel(
         )
         alive2 = alive * (1.0 - out_of_bounds.astype(alive.dtype))
         s2 = tuple(a * alive2 + b * (1.0 - alive2) for a, b in zip(s2, s))
-        return s2, alive2, length + alive2
+        # pre-kill alive: the terminating step counts toward episode length
+        # (matches pallas_eval and rl.evaluation semantics)
+        return s2, alive2, length + alive
 
     final, alive, length = jax.lax.fori_loop(
         0, n_steps, step, (state0, alive0, length0)
@@ -264,7 +275,7 @@ def fused_rollout_packed(
     Returns (final_state [17,R,128], stats [2,R,128]) where stats[0] = alive
     flag and stats[1] = per-env survived step count."""
     rows = state_packed.shape[1]
-    block_rows = min(block_rows, rows)
+    block_rows = _fit_block_rows(rows, block_rows)
     grid = (rows // block_rows,)
 
     def index_map(i):

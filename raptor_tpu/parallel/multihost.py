@@ -29,11 +29,13 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize JAX's distributed runtime (no-op if single-process or
-    already initialized). On TPU pods with standard env vars, bare
-    `jax.distributed.initialize()` autodetects everything."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Initialize JAX's distributed runtime. On TPU pods with standard env
+    vars, bare `jax.distributed.initialize()` autodetects everything.
+
+    Must run before anything touches a backend (even jax.process_count()
+    initializes one — never probe first). Re-initialization and genuinely
+    single-process environments are tolerated; any other failure is
+    re-raised so a pod launch can't silently fall back to single-host."""
     try:
         if coordinator_address is None:
             jax.distributed.initialize()
@@ -43,9 +45,37 @@ def initialize_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator): run locally
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg:
+            return  # initialized earlier in this process — fine
+        if "must be called before" in msg and not _cluster_env_present(
+            coordinator_address
+        ):
+            # a backend already exists but there is no cluster to join:
+            # benign single-process use (e.g. late call in a script/test)
+            return
+        raise
+    except ValueError:
+        # no coordinator/cluster env detected: single-process environment
         pass
+
+
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "CLOUD_TPU_TASK_ID",
+    "TPU_WORKER_ID",
+)
+
+
+def _cluster_env_present(coordinator_address) -> bool:
+    import os
+
+    if coordinator_address is not None:
+        return True
+    return any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
 
 
 def host_key(key: jax.Array, process_index: Optional[int] = None) -> jax.Array:

@@ -54,7 +54,16 @@ def evaluate(
         pcarry, action = policy_step(pcarry, obs)
         action = jnp.clip(action, -1.0, 1.0)
         k, k_step = jax.random.split(k)
-        next_state, _ = v_dstep(params, state, action, jax.random.split(k_step, n_envs))
+        stepped, _ = v_dstep(params, state, action, jax.random.split(k_step, n_envs))
+        # freeze dead envs: integrating a diverged state overflows f32 and
+        # the resulting NaN poisons even masked (x*0) accumulators
+        keep = alive
+        next_state = jax.tree.map(
+            lambda a, b: a * keep.reshape((n_envs,) + (1,) * (a.ndim - 1))
+            + b * (1.0 - keep.reshape((n_envs,) + (1,) * (a.ndim - 1))),
+            stepped,
+            state,
+        )
         reward = v_rew(params, state, action, next_state)
         terminated = v_term(params, next_state)
         ret = ret + reward * alive

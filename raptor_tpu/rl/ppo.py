@@ -101,26 +101,38 @@ def ppo_rollout(
         value = networks.mlp_apply(state.value, obs)[..., 0]
         action = jnp.tanh(raw)
         es, next_obs, reward, done, info = v_step(params, es, action)
-        out = (obs, raw, logp, value, reward, done.astype(jnp.float32))
+        # bootstrap value of the TRUE successor (pre-autoreset) state:
+        # correct at episode boundaries, where next_obs is a fresh reset
+        v_next = networks.mlp_apply(state.value, info["final_obs"])[..., 0]
+        out = (
+            obs, raw, logp, value, reward,
+            done.astype(jnp.float32),
+            info["terminated"].astype(jnp.float32),
+            v_next,
+        )
         return (es, next_obs, key), out
 
-    (env_state, obs, key), (o, raw, logp, value, reward, done) = jax.lax.scan(
+    (env_state, obs, key), (
+        o, raw, logp, value, reward, done, terminated, v_next
+    ) = jax.lax.scan(
         body, (env_state, obs, key), None, length=config.rollout_length
     )
-    last_value = networks.mlp_apply(state.value, obs)[..., 0]
 
-    # GAE (reverse scan)
-    def gae_body(carry, inp):
-        gae, next_value = carry
-        value_t, reward_t, done_t = inp
-        delta = reward_t + config.gamma * next_value * (1 - done_t) - value_t
+    # GAE (reverse scan). Bootstrapping uses V(final_obs) and is cut only by
+    # TRUE termination; time-limit truncation still bootstraps (partial-
+    # episode bootstrapping — truncation is not a terminal state). The GAE
+    # accumulator is cut at any episode boundary (done) so credit never
+    # flows across episodes.
+    def gae_body(gae, inp):
+        value_t, reward_t, done_t, term_t, v_next_t = inp
+        delta = reward_t + config.gamma * v_next_t * (1 - term_t) - value_t
         gae = delta + config.gamma * config.gae_lambda * (1 - done_t) * gae
-        return (gae, value_t), gae
+        return gae, gae
 
-    (_, _), advantages = jax.lax.scan(
+    _, advantages = jax.lax.scan(
         gae_body,
-        (jnp.zeros_like(last_value), last_value),
-        (value, reward, done),
+        jnp.zeros_like(value[0]),
+        (value, reward, done, terminated, v_next),
         reverse=True,
     )
     returns = advantages + value

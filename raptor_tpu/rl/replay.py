@@ -199,14 +199,20 @@ def sequence_buffer_sample(
 ):
     """Sample [batch, seq_len] windows: returns dict of [B, T, ...] arrays.
 
-    Windows are drawn from filled rows only; `reset` within a window tells
-    the consumer where to re-inject the learned initial hidden state.
+    Windows are drawn from filled rows only and in *logical* (time) order:
+    logical index 0 is the oldest surviving row, so once the ring wraps a
+    window can never straddle the write pointer (which would splice
+    newest-next-to-oldest data with no reset flag at the seam). `reset`
+    within a window tells the consumer where to re-inject the learned
+    initial hidden state.
     """
     kt, ke = jax.random.split(key)
     max_start = jnp.maximum(buf.size - seq_len, 1)
     t0 = jax.random.randint(kt, (batch_size,), 0, max_start)
     e_idx = jax.random.randint(ke, (batch_size,), 0, buf.n_envs)
-    t_idx = t0[:, None] + jnp.arange(seq_len)[None, :]  # [B, T]
+    # logical -> physical ring mapping (oldest row = ptr - size mod cap)
+    base = (buf.ptr - buf.size + buf.capacity) % buf.capacity
+    t_idx = (base + t0[:, None] + jnp.arange(seq_len)[None, :]) % buf.capacity
     e_full = e_idx[:, None].repeat(seq_len, axis=1)
     return {
         "obs": buf.obs[t_idx, e_full],

@@ -28,7 +28,6 @@ class RunnerConfig:
     gradient_steps: int = 32  # G SAC updates per super-step
     batch_size: int = 256
     replay_capacity: int = 4096  # time rows (x n_envs transitions)
-    warmup_steps: int = 1000  # uniform-random action steps before training
     actor_obs_dim: int | None = None  # policy sees obs[:, :this]; None = full
 
 

@@ -91,14 +91,11 @@ def critic_forward(params, obs_seq, action_seq, reset):
 
 
 def _sample_squash(key, mu, log_std):
-    std = jnp.exp(log_std)
-    eps = jax.random.normal(key, mu.shape)
-    pre = mu + std * eps
-    action = jnp.tanh(pre)
-    logp = jnp.sum(
-        -0.5 * eps**2 - log_std - 0.5 * np.log(2 * np.pi), axis=-1
-    ) - jnp.sum(2.0 * (np.log(2.0) - pre - jax.nn.softplus(-2.0 * pre)), axis=-1)
-    return action, logp
+    """Shared squashed-Gaussian sampler (single source of the numerically
+    delicate log-prob correction)."""
+    from raptor_tpu.rl import networks
+
+    return networks.sample_and_squash(key, mu, log_std)
 
 
 def sac_gru_init(
@@ -169,8 +166,12 @@ def sac_gru_update(
     tq1 = critic_forward(state.target1, obs, a_next, reset)
     tq2 = critic_forward(state.target2, obs, a_next, reset)
     v_next = jnp.minimum(tq1, tq2) - alpha * logp_next  # [T, B]
-    # transition t -> t+1: target uses v_next at t+1
-    valid = (1.0 - reset[1:]) * (1.0 - done[:-1])  # [T-1, B]
+    # transition t -> t+1: target uses v_next at t+1. Terminal transitions
+    # (done[t]=1) train with target = r (no bootstrap) and MUST stay in the
+    # loss — that is where the termination penalty reaches the critic. Only
+    # truncation boundaries (reset without done) are excluded, since their
+    # successor row belongs to another episode.
+    valid = jnp.maximum(1.0 - reset[1:], done[:-1])  # [T-1, B]
     target_q = jax.lax.stop_gradient(
         reward[:-1] + config.gamma * (1.0 - done[:-1]) * v_next[1:]
     )

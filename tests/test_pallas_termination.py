@@ -53,3 +53,26 @@ def test_hovering_env_survives():
     assert np.all(np.asarray(alive) == 1.0)
     assert np.all(np.asarray(length) == 300)
     assert np.all(np.abs(np.asarray(final.position)) < 0.05)
+
+
+def test_non_divisible_rows_not_dropped():
+    """Regression: envs beyond the last full block were silently zeroed
+    when rows % block_rows != 0 (flooring grid)."""
+    from raptor_tpu.env import EnvConfig, L2F, sample_population
+
+    env = L2F(EnvConfig())
+    n = 9 * 1024  # rows = 72, not divisible by the default block_rows
+    params = sample_population(jax.random.key(0), n)
+    v_reset, _ = env.vector_ops()
+    es, _ = v_reset(jax.random.split(jax.random.key(1), n), params)
+    action = jnp.zeros((n, 4))
+    with pltpu.force_tpu_interpret_mode():
+        final, alive, length = pr.fused_rollout(
+            params, es.dynamics, action, 3, pos_bound=1e9, angvel_bound=1e9
+        )
+    # every env (including the tail blocks) must have been stepped
+    assert np.all(np.asarray(length) == 3)
+    moved = np.linalg.norm(
+        np.asarray(final.position) - np.asarray(es.dynamics.position), axis=-1
+    )
+    assert np.count_nonzero(moved > 0) > n * 0.99

@@ -64,3 +64,24 @@ def test_sequence_buffer_windows():
     np.testing.assert_array_equal(diffs, np.ones_like(diffs))
     # windows only from filled region
     assert o.max() <= 39.0
+
+
+def test_sequence_windows_never_straddle_ring_seam():
+    """Regression: after wraparound, raw-index windows could splice
+    newest-next-to-oldest rows with no reset flag at the seam."""
+    cap, T = 16, 4
+    buf = replay.sequence_buffer_init(capacity=cap, n_envs=1, obs_dim=1, action_dim=1)
+    # write 40 rows of a strictly increasing counter -> buffer wraps twice
+    t_vals = jnp.arange(40, dtype=jnp.float32)
+    obs = t_vals[:, None, None]
+    z = jnp.zeros((40, 1))
+    buf = replay.sequence_buffer_add_rollout(
+        buf, obs, jnp.zeros((40, 1, 1)), z, z, z
+    )
+    out = replay.sequence_buffer_sample(buf, jax.random.key(0), 64, T)
+    o = np.asarray(out["obs"])[:, :, 0]  # [64, T]
+    # every sampled window must be consecutive in logical time
+    diffs = np.diff(o, axis=1)
+    np.testing.assert_array_equal(diffs, np.ones_like(diffs))
+    # and drawn only from the surviving rows (24..39)
+    assert o.min() >= 24.0 and o.max() <= 39.0

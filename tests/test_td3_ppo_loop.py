@@ -47,35 +47,43 @@ def test_ppo_iteration_on_env():
 
 
 def test_gae_against_manual():
-    """GAE from ppo_rollout's scan matches a manual numpy computation."""
+    """GAE as implemented in ppo_rollout (bootstrap from V(final_obs), cut
+    only by true termination; accumulator cut at any boundary) matches a
+    manual backward pass."""
     cfg = ppo.PPOConfig(gamma=0.9, gae_lambda=0.8)
     T, N = 4, 1
     value = jnp.asarray([[1.0], [2.0], [3.0], [4.0]])
     reward = jnp.asarray([[1.0], [1.0], [1.0], [1.0]])
-    done = jnp.asarray([[0.0], [1.0], [0.0], [0.0]])
-    last_value = jnp.asarray([5.0])
+    terminated = jnp.asarray([[0.0], [1.0], [0.0], [0.0]])
+    done = jnp.asarray([[0.0], [1.0], [0.0], [1.0]])  # t=3 truncated
+    v_next = jnp.asarray([[2.0], [9.9], [4.0], [5.0]])  # V(final_obs_t)
 
-    def gae_body(carry, inp):
-        gae, next_value = carry
-        v, r, d = inp
-        delta = r + cfg.gamma * next_value * (1 - d) - v
+    def gae_body(gae, inp):
+        v, r, d, term, vn = inp
+        delta = r + cfg.gamma * vn * (1 - term) - v
         gae = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * gae
-        return (gae, v), gae
+        return gae, gae
 
-    (_, _), adv = jax.lax.scan(
-        gae_body, (jnp.zeros_like(last_value), last_value),
-        (value, reward, done), reverse=True)
+    _, adv = jax.lax.scan(
+        gae_body, jnp.zeros_like(value[0]),
+        (value, reward, done, terminated, v_next), reverse=True)
 
-    # manual backward pass
     expect = np.zeros((T, N))
-    gae, nv = 0.0, 5.0
+    gae = 0.0
     for t in reversed(range(T)):
-        d, r, v = float(done[t, 0]), float(reward[t, 0]), float(value[t, 0])
-        delta = r + cfg.gamma * nv * (1 - d) - v
+        d, term = float(done[t, 0]), float(terminated[t, 0])
+        delta = (
+            float(reward[t, 0])
+            + cfg.gamma * float(v_next[t, 0]) * (1 - term)
+            - float(value[t, 0])
+        )
         gae = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * gae
         expect[t, 0] = gae
-        nv = v
     np.testing.assert_allclose(np.asarray(adv), expect, atol=1e-6)
+    # truncation at t=3 still bootstraps: advantage includes gamma*v_next
+    assert abs(expect[3, 0] - (1.0 + 0.9 * 5.0 - 4.0)) < 1e-6
+    # termination at t=1 does not bootstrap
+    assert abs(expect[1, 0] - (1.0 - 2.0)) < 1e-6
 
 
 def test_standardize_fold():
