@@ -1,0 +1,130 @@
+"""CLI: recurrent (GRU) SAC with domain randomization — BASELINE config 3
+("single-host SAC with GRU sequence replay + domain randomization").
+
+The end-to-end recurrent path of the foundation recipe: N domain-randomized
+airframes, GRU actor (foundation-policy backbone) + recurrent twin critics,
+sequence replay with reset-masked BPTT.
+
+    python -m raptor_tpu.apps.train_gru_sac --n-envs 256 --super-steps 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from raptor_tpu.checkpoint import h5 as ckpt_h5
+from raptor_tpu.env import EnvConfig, L2F, sample_population
+from raptor_tpu.policy import network as gru_net
+from raptor_tpu.rl import evaluation, runner_gru, sac_gru
+from raptor_tpu.utils.extrack import Run
+
+
+def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-envs", type=int, default=256)
+    p.add_argument("--super-steps", type=int, default=1000)
+    p.add_argument("--rollout-length", type=int, default=64)
+    p.add_argument("--gradient-steps", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--seq-len", type=int, default=64)
+    p.add_argument("--warmup-super-steps", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--experiments-dir", default="experiments")
+    args = p.parse_args(argv)
+
+    env = L2F(EnvConfig())
+    run_cfg = runner_gru.GRURunnerConfig(
+        n_envs=args.n_envs,
+        rollout_length=args.rollout_length,
+        gradient_steps=args.gradient_steps,
+        batch_size=args.batch_size,
+        sample_seq_len=args.seq_len,
+        replay_capacity=4096,
+    )
+    cfg = sac_gru.SACGRUConfig()
+    key = jax.random.key(args.seed)
+    k_pop, k_init, k_eval = jax.random.split(key, 3)
+    params = sample_population(k_pop, args.n_envs)
+    state = runner_gru.gru_trainer_init(k_init, env, params, run_cfg, cfg)
+    super_step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
+
+    def warmup_step(state, params):
+        return runner_gru.collect_sequences(
+            state, env, params, run_cfg, cfg, random_actions=True
+        )
+
+    warmup = jax.jit(warmup_step, donate_argnums=(0,))
+
+    run = Run(base_dir=args.experiments_dir, name="gru_sac")
+    run.snapshot_config({"run_cfg": run_cfg, "cfg": cfg, "seed": args.seed})
+
+    def evaluate_actor(learner):
+        m = min(args.n_envs, 64)
+        p_eval = sample_population(jax.random.fold_in(k_eval, 0), m)
+        sf = sac_gru.recurrent_actor_step(learner.actor, cfg)
+        stats = evaluation.evaluate(
+            env,
+            p_eval,
+            lambda h, o: sf(h, o[..., : run_cfg.actor_obs_dim]),
+            gru_net.initial_hidden(learner.actor, m),
+            k_eval,
+            m,
+            env.EPISODE_LENGTH,
+        )
+        return stats
+
+    for _ in range(args.warmup_super_steps):
+        state = warmup(state, params)
+    steps_per = run_cfg.rollout_length * run_cfg.n_envs
+    for i in range(args.super_steps):
+        state, metrics = super_step(state, params)
+        step = (i + 1) * steps_per
+        if (i + 1) % 10 == 0:
+            run.log(
+                {
+                    "critic_loss": float(metrics.critic_loss),
+                    "actor_loss": float(metrics.actor_loss),
+                    "alpha": float(metrics.alpha),
+                    "entropy": float(metrics.entropy),
+                },
+                step,
+            )
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            stats = evaluate_actor(state.learner)
+            run.log(
+                {
+                    "evaluation/return/mean": float(stats.return_mean),
+                    "evaluation/return/std": float(stats.return_std),
+                    "evaluation/episode_length/mean": float(stats.episode_length_mean),
+                    "evaluation/share_terminated": float(stats.share_terminated),
+                },
+                step,
+            )
+
+    # export the actor's GRU backbone in the reference schema (mu head only:
+    # first ACTION_DIM rows of the dense_2 output layer)
+    actor = jax.tree.map(np.asarray, state.learner.actor)
+    mu_actor = {
+        "dense_0": actor["dense_0"],
+        "gru_1": actor["gru_1"],
+        "dense_2": {
+            "weights": actor["dense_2"]["weights"][: env.ACTION_DIM],
+            "biases": actor["dense_2"]["biases"][: env.ACTION_DIM],
+        },
+    }
+    path = run.checkpoint_path(args.super_steps * steps_per)
+    ckpt_h5.save_actor(path, mu_actor, checkpoint_name=run.name)
+    run.close()
+    print(f"gru-sac actor: {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()
