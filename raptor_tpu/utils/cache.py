@@ -12,6 +12,16 @@ import os
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    # Platform override: JAX_PLATFORMS is ignored on machines whose
+    # sitecustomize pre-registers a backend, so honor RAPTOR_PLATFORM here
+    # (before any backend is touched) for CLI runs that want CPU.
+    platform = os.environ.get("RAPTOR_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
     if cache_dir is None:
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
