@@ -210,8 +210,12 @@ def _rollout_kernel(
         for i in range(4)
     )
     state0 = tuple(state_ref[i] for i in range(N_STATE))
-    alive0 = jnp.ones_like(state0[0])
-    length0 = jnp.zeros_like(state0[0])
+    # carry inits derived from tile data (x*0), not broadcast constants —
+    # Mosaic gives constants replicated layouts that cannot be relaid out
+    # at the fori_loop boundary
+    zeros = state0[0] * 0.0
+    alive0 = zeros + 1.0
+    length0 = zeros
 
     def step(_, carry):
         s, alive, length = carry
