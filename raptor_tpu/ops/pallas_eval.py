@@ -225,6 +225,90 @@ def _weights_to_constants(policy_params: Dict[str, Any]) -> dict:
     }
 
 
+def make_fused_policy_eval(
+    policy_params: Dict[str, Any],
+    n_steps: int,
+    dt: float = 0.01,
+    pos_bound: float = 0.6,
+    angvel_bound: float = 35.0,
+    reward_config: RewardConfig = RewardConfig(),
+    block_rows: int = 64,
+):
+    """Build a JITTED closed-loop evaluator for one checkpoint.
+
+    Returns fn(params [N], state [N]) -> (final State, alive, length,
+    return). The ENTIRE pipeline (SoA pack -> kernel -> unpack) runs under
+    one jit: eager packing costs dozens of per-op dispatches (catastrophic
+    through a remote-device tunnel — measured 200x slowdown) and is the
+    reason this factory exists. Weights are baked into the kernel as
+    compile-time constants (recompile per checkpoint, ~seconds).
+    """
+    W = _weights_to_constants(policy_params)
+    rw = {
+        "scale": reward_config.scale,
+        "constant": reward_config.constant,
+        "position_weight": reward_config.position_weight,
+        "orientation_weight": reward_config.orientation_weight,
+        "linear_velocity_weight": reward_config.linear_velocity_weight,
+        "angular_velocity_weight": reward_config.angular_velocity_weight,
+        "action_weight": reward_config.action_weight,
+    }
+
+    @jax.jit
+    def run(params: DynamicsParams, state: State):
+        n = state.position.shape[0]
+        pp = pack_params(params)
+        sp = pack_state(state)
+        rows = sp.shape[1]
+        from raptor_tpu.ops.pallas_rollout import _fit_block_rows
+
+        br = _fit_block_rows(rows, block_rows)
+        grid = (rows // br,)
+
+        def index_map(i):
+            return (0, i, 0)
+
+        kernel = functools.partial(
+            _eval_kernel,
+            W=W,
+            n_steps=n_steps,
+            dt=dt,
+            pos_bound=pos_bound,
+            angvel_bound=angvel_bound,
+            rw=rw,
+        )
+        out, stats = pl.pallas_call(
+            kernel,
+            interpret=jax.default_backend() != "tpu",  # CPU fallback
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((N_PARAM, br, LANES), index_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_STATE, br, LANES), index_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((N_STATE, br, LANES), index_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, br, LANES), index_map,
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(sp.shape, jnp.float32),
+                jax.ShapeDtypeStruct((3,) + sp.shape[1:], jnp.float32),
+            ),
+        )(pp, sp)
+        flat = stats.reshape(3, -1)
+        return (
+            unpack_state(out, n),
+            flat[0, :n],
+            flat[1, :n],
+            flat[2, :n],
+        )
+
+    return run
+
+
 def fused_policy_eval(
     policy_params: Dict[str, Any],
     params: DynamicsParams,  # [N]-stacked airframes
@@ -236,67 +320,10 @@ def fused_policy_eval(
     reward_config: RewardConfig = RewardConfig(),
     block_rows: int = 64,
 ):
-    """Closed-loop eval of the foundation policy on N airframes.
-
-    Returns (final State, alive [N], episode_length [N], return [N]).
-    Weights are baked into the kernel (recompile per checkpoint, ~seconds).
-    """
-    n = state.position.shape[0]
-    W = _weights_to_constants(policy_params)
-    rw = {
-        "scale": reward_config.scale,
-        "constant": reward_config.constant,
-        "position_weight": reward_config.position_weight,
-        "orientation_weight": reward_config.orientation_weight,
-        "linear_velocity_weight": reward_config.linear_velocity_weight,
-        "angular_velocity_weight": reward_config.angular_velocity_weight,
-        "action_weight": reward_config.action_weight,
-    }
-    pp = pack_params(params)
-    sp = pack_state(state)
-    rows = sp.shape[1]
-    from raptor_tpu.ops.pallas_rollout import _fit_block_rows
-
-    block_rows = _fit_block_rows(rows, block_rows)
-    grid = (rows // block_rows,)
-
-    def index_map(i):
-        return (0, i, 0)
-
-    kernel = functools.partial(
-        _eval_kernel,
-        W=W,
-        n_steps=n_steps,
-        dt=dt,
-        pos_bound=pos_bound,
-        angvel_bound=angvel_bound,
-        rw=rw,
+    """One-shot convenience over `make_fused_policy_eval` (build the jitted
+    evaluator once and reuse it when calling repeatedly)."""
+    run = make_fused_policy_eval(
+        policy_params, n_steps, dt, pos_bound, angvel_bound, reward_config,
+        block_rows,
     )
-    out, stats = pl.pallas_call(
-        kernel,
-        interpret=jax.default_backend() != "tpu",  # CPU fallback for tests/CLI
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((N_PARAM, block_rows, LANES), index_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_STATE, block_rows, LANES), index_map,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((N_STATE, block_rows, LANES), index_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rows, LANES), index_map,
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(sp.shape, jnp.float32),
-            jax.ShapeDtypeStruct((3,) + sp.shape[1:], jnp.float32),
-        ),
-    )(pp, sp)
-    flat = stats.reshape(3, -1)
-    return (
-        unpack_state(out, n),
-        flat[0, :n],
-        flat[1, :n],
-        flat[2, :n],
-    )
+    return run(params, state)

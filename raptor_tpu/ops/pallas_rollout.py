@@ -317,6 +317,9 @@ def fused_rollout_packed(
     )(params_packed, state_packed, action_packed)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "dt", "pos_bound", "angvel_bound")
+)
 def fused_rollout(
     params: DynamicsParams,  # [N]-stacked
     state: State,  # [N]-stacked
@@ -326,7 +329,10 @@ def fused_rollout(
     pos_bound: float = 0.6,
     angvel_bound: float = 35.0,
 ):
-    """Convenience wrapper: pytree in -> (State, alive [N], length [N])."""
+    """Convenience wrapper: pytree in -> (State, alive [N], length [N]).
+
+    Jitted end-to-end: eager SoA packing costs dozens of per-op dispatches
+    (catastrophic through a remote-device tunnel)."""
     n = state.position.shape[0]
     out, stats = fused_rollout_packed(
         pack_params(params),
