@@ -40,6 +40,9 @@ def main(argv=None):
                    help="sample K fresh airframes instead of reading JSONs")
     p.add_argument("--envs-per-teacher", type=int, default=32)
     p.add_argument("--super-steps", type=int, default=200)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="super-steps batched per jitted dispatch (amortizes "
+                        "per-call latency; logging cadence coarsens)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every", type=int, default=20)
@@ -67,7 +70,12 @@ def main(argv=None):
         k_init, env, airframes, pop_cfg, sac_cfg
     )
     warmup = population.make_population_warmup(env, run_cfg)
-    super_step = population.make_population_super_step(env, run_cfg, sac_cfg)
+    if args.steps_per_call > 1:
+        super_step = population.make_population_multi_step(
+            env, run_cfg, sac_cfg, args.steps_per_call
+        )
+    else:
+        super_step = population.make_population_super_step(env, run_cfg, sac_cfg)
     evaluator = population.make_population_eval(env, 8, env.EPISODE_LENGTH)
 
     run = Run(base_dir=args.experiments_dir, name="pre_training")
@@ -85,7 +93,9 @@ def main(argv=None):
 
     for _ in range(pop_cfg.warmup_super_steps):
         states = warmup(states, env_params)
-    env_steps_per = run_cfg.rollout_length * run_cfg.n_envs
+    env_steps_per = (
+        run_cfg.rollout_length * run_cfg.n_envs * args.steps_per_call
+    )
     for i in range(args.super_steps):
         states, metrics = super_step(states, env_params)
         step = (i + 1) * env_steps_per

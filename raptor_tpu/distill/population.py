@@ -97,6 +97,36 @@ def make_population_super_step(
     return jax.jit(jax.vmap(member_step), donate_argnums=(0,))
 
 
+def make_population_multi_step(
+    env: L2F,
+    run_cfg: runner.RunnerConfig,
+    sac_cfg: sac.SACConfig,
+    n_inner: int,
+):
+    """`n_inner` population super-steps inside ONE jitted call (lax.scan).
+
+    Per-call dispatch latency (tens of ms through a remote-device tunnel)
+    dominates small super-steps; batching amortizes it n_inner-fold. Returns
+    the metrics of the last inner step."""
+
+    def member_step(state, params):
+        state = runner.collect(state, env, params, run_cfg)
+        state, metrics = runner.train(state, run_cfg, sac_cfg)
+        return state, metrics
+
+    v_step = jax.vmap(member_step)
+
+    def multi(states, env_params):
+        def body(states, _):
+            states, metrics = v_step(states, env_params)
+            return states, None
+
+        states, _ = jax.lax.scan(body, states, None, length=n_inner - 1)
+        return v_step(states, env_params)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_population_warmup(env: L2F, run_cfg: runner.RunnerConfig):
     def member_warmup(state, params):
         return runner.collect(state, env, params, run_cfg, random_actions=True)
