@@ -106,3 +106,32 @@ def test_distill_reduces_loss(env):
     assert len(history) == 8  # 4 rounds x 2 epochs
     assert history[-1] < history[0] * 0.8, history
     assert np.all(np.isfinite(history))
+
+
+def test_population_multi_step_equivalence(env):
+    """N batched super-steps == N sequential super-steps (same RNG path)."""
+    pop_cfg = population.PopulationConfig(
+        n_teachers=2, envs_per_teacher=4, rollout_length=2, gradient_steps=2,
+        batch_size=16, replay_capacity=32, warmup_super_steps=0,
+    )
+    sac_cfg = sac.SACConfig(actor_hidden=(8, 8), critic_hidden=(8, 8))
+    airframes = population.sample_teacher_airframes(jax.random.key(0), 2)
+    states, env_params, run_cfg = population.population_init(
+        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    )
+    single = population.make_population_super_step(env, run_cfg, sac_cfg)
+    multi = population.make_population_multi_step(env, run_cfg, sac_cfg, 3)
+
+    # real buffer copy: both paths donate their inputs
+    s_a = jax.tree.map(jnp.copy, states)
+    for _ in range(3):
+        s_a, m_a = single(s_a, env_params)
+    s_b, m_b = multi(states, env_params)
+    assert np.allclose(
+        np.asarray(m_a.critic_loss), np.asarray(m_b.critic_loss), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_a.sac.actor)[0]),
+        np.asarray(jax.tree.leaves(s_b.sac.actor)[0]),
+        atol=1e-6,
+    )
