@@ -58,6 +58,11 @@ def main(argv=None):
     p.add_argument("--rounds", type=int, default=40)
     p.add_argument("--envs-per-teacher", type=int, default=8)
     p.add_argument("--epochs-per-round", type=int, default=2)
+    p.add_argument("--teacher-mix-initial", type=float, default=1.0)
+    p.add_argument("--teacher-mix-final", type=float, default=0.0)
+    p.add_argument("--teacher-mix-rounds", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every-rounds", type=int, default=5)
@@ -69,6 +74,11 @@ def main(argv=None):
         envs_per_teacher=args.envs_per_teacher,
         epochs_per_round=args.epochs_per_round,
         rollout_length=env.EPISODE_LENGTH,
+        teacher_mix_initial=args.teacher_mix_initial,
+        teacher_mix_final=args.teacher_mix_final,
+        teacher_mix_decay_rounds=args.teacher_mix_rounds,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})

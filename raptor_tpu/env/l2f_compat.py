@@ -175,3 +175,42 @@ def step(device: Device, env, params, state, action, next_state, rng):
     next_state.dynamics = nxt
     next_state.prev_action = a
     return np.asarray(dts)
+
+
+# -- UI message builders (reference README:76-90 naming, SURVEY §A.3) -------
+
+
+class UI:
+    """UI handle: carries the namespace from the ui-server handshake."""
+
+    def __init__(self, namespace: str = "default"):
+        self.ns = namespace
+
+
+def set_ui_message(device: Device, env, ui: "UI", model_url=None) -> str:
+    """Returns the JSON ui_message payload (send over the websocket)."""
+    import json
+
+    from raptor_tpu.env import ui as ui_mod
+
+    return json.dumps(ui_mod.ui_message(ui.ns, model_url))
+
+
+def set_parameters_message(device: Device, env, params, ui: "UI") -> str:
+    import json
+
+    from raptor_tpu.env import ui as ui_mod
+
+    return json.dumps(
+        ui_mod.parameters_message(ui.ns, params.stacked, env.N_ENVIRONMENTS)
+    )
+
+
+def set_state_action_message(device: Device, env, params, ui: "UI", state, action) -> str:
+    import json
+
+    from raptor_tpu.env import ui as ui_mod
+
+    return json.dumps(
+        ui_mod.state_action_message(ui.ns, state.dynamics, np.asarray(action))
+    )

@@ -43,3 +43,29 @@ def test_vector8_readme_loop():
     s0 = state.states[0]
     assert s0.orientation.shape == (4,)
     assert s0.rpm.shape == (4,)
+
+
+def test_ui_message_functions():
+    """The reference's UI function names (SURVEY §A.3) on the compat shim."""
+    import json
+
+    device = l2f.Device()
+    vector = l2f.vector8
+    rng = vector.VectorRng()
+    env = vector.VectorEnvironment()
+    params = vector.VectorParameters()
+    state = vector.VectorState()
+    l2f.initialize_rng(device, rng, 0)
+    l2f.sample_initial_parameters(device, env, params, rng)
+    l2f.sample_initial_state(device, env, params, state, rng)
+
+    ui = l2f.UI("ns-42")
+    m1 = json.loads(l2f.set_ui_message(device, env, ui))
+    assert m1["channel"] == "ui_message" and m1["data"]["namespace"] == "ns-42"
+    m2 = json.loads(l2f.set_parameters_message(device, env, params, ui))
+    assert len(m2["data"]["parameters"]) == 8
+    m3 = json.loads(
+        l2f.set_state_action_message(device, env, params, ui, state,
+                                     np.zeros((8, 4)))
+    )
+    assert len(m3["data"]["states"]) == 8
