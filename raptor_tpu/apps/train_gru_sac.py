@@ -34,6 +34,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seq-len", type=int, default=64)
     p.add_argument("--warmup-super-steps", type=int, default=8)
+    p.add_argument("--steps-per-call", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--experiments-dir", default="experiments")
@@ -53,7 +54,12 @@ def main(argv=None):
     k_pop, k_init, k_eval = jax.random.split(key, 3)
     params = sample_population(k_pop, args.n_envs)
     state = runner_gru.gru_trainer_init(k_init, env, params, run_cfg, cfg)
-    super_step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
+    if args.steps_per_call > 1:
+        super_step = runner_gru.make_gru_multi_step(
+            env, run_cfg, cfg, args.steps_per_call
+        )
+    else:
+        super_step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
 
     def warmup_step(state, params):
         return runner_gru.collect_sequences(
@@ -82,7 +88,7 @@ def main(argv=None):
 
     for _ in range(args.warmup_super_steps):
         state = warmup(state, params)
-    steps_per = run_cfg.rollout_length * run_cfg.n_envs
+    steps_per = run_cfg.rollout_length * run_cfg.n_envs * args.steps_per_call
     for i in range(args.super_steps):
         state, metrics = super_step(state, params)
         step = (i + 1) * steps_per

@@ -153,3 +153,27 @@ def make_gru_super_step(env: L2F, run_cfg: GRURunnerConfig, cfg: sac_gru.SACGRUC
         return state, metrics
 
     return jax.jit(super_step, donate_argnums=(0,))
+
+
+def make_gru_multi_step(
+    env: L2F,
+    run_cfg: GRURunnerConfig,
+    cfg: sac_gru.SACGRUConfig,
+    n_inner: int,
+):
+    """n_inner super-steps per jitted dispatch (amortizes per-call latency,
+    see distill.population.make_population_multi_step)."""
+
+    def super_step(state, params):
+        state = collect_sequences(state, env, params, run_cfg, cfg)
+        return train_sequences(state, run_cfg, cfg)
+
+    def multi(state: GRUTrainerState, params: DynamicsParams):
+        def body(state, _):
+            state, _ = super_step(state, params)
+            return state, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_inner - 1)
+        return super_step(state, params)
+
+    return jax.jit(multi, donate_argnums=(0,))
