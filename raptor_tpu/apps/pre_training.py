@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="super-steps batched per jitted dispatch (amortizes "
                         "per-call latency; logging cadence coarsens)")
+    p.add_argument("--replay-capacity", type=int, default=4096,
+                   help="replay ring rows per teacher (HBM: K x cap x envs "
+                        "x ~68 floats)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every", type=int, default=20)
@@ -63,7 +66,9 @@ def main(argv=None):
         n_teachers = len(frames)
 
     pop_cfg = population.PopulationConfig(
-        n_teachers=n_teachers, envs_per_teacher=args.envs_per_teacher
+        n_teachers=n_teachers,
+        envs_per_teacher=args.envs_per_teacher,
+        replay_capacity=args.replay_capacity,
     )
     sac_cfg = sac.SACConfig()
     states, env_params, run_cfg = population.population_init(
