@@ -22,6 +22,7 @@ from raptor_tpu.checkpoint import h5 as ckpt_h5
 from raptor_tpu.distill import post_training
 from raptor_tpu.env import EnvConfig, L2F, presets
 from raptor_tpu.env.io import load_params_json
+from raptor_tpu.env.types import InitConfig
 from raptor_tpu.rl import evaluation
 from raptor_tpu.utils.extrack import Run
 
@@ -63,6 +64,15 @@ def main(argv=None):
     p.add_argument("--teacher-mix-rounds", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--aggregate-capacity", type=int, default=0,
+                   help="DAgger dataset reservoir size in sequences "
+                        "(0 = train on latest round only, round-1 behavior)")
+    p.add_argument("--grad-steps-per-round", type=int, default=0,
+                   help="minibatch updates per round from the aggregate "
+                        "(reference: ~913/round avg, 146k total)")
+    p.add_argument("--eval-max-angle", type=float, default=0.0,
+                   help="eval-parity InitConfig.max_angle for evaluation/* "
+                        "and crazyflie/* tags (0 = use training init)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every-rounds", type=int, default=5)
@@ -70,6 +80,7 @@ def main(argv=None):
 
     env = L2F(EnvConfig())
     teacher_actors, airframes = load_teachers(args.manifest)
+    total_grad = args.grad_steps_per_round * args.rounds
     cfg = post_training.DistillConfig(
         envs_per_teacher=args.envs_per_teacher,
         epochs_per_round=args.epochs_per_round,
@@ -79,6 +90,9 @@ def main(argv=None):
         teacher_mix_decay_rounds=args.teacher_mix_rounds,
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
+        aggregate_capacity=args.aggregate_capacity,
+        grad_steps_per_round=args.grad_steps_per_round,
+        total_grad_steps=total_grad if args.aggregate_capacity else 0,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})
@@ -89,27 +103,45 @@ def main(argv=None):
     )
     k_eval = jax.random.key(args.seed + 1)
 
+    # evaluation/* and crazyflie/* use the measured eval-parity init
+    # (apps/eval_parity.py; VERDICT r1 #3) so the tags are comparable with
+    # the reference tfevents; fullinit/* keeps the harsher training-init
+    # numbers for continuity with round-1 artifacts.
+    if args.eval_max_angle > 0:
+        eval_env = L2F(EnvConfig(init=InitConfig(max_angle=args.eval_max_angle)))
+    else:
+        eval_env = env
+
     def log_fn(tag, value, step):
         run.writer.scalar(tag, value, step)
 
     def round_hook(r, student, env_steps):
         if (r + 1) % args.eval_every_rounds:
             return
-        stats = evaluate_student(env, student, airframes, k_eval)
-        cf = evaluate_student(env, student, crazyflie, k_eval, n_envs_per=16)
-        run.log(
-            {
-                "evaluation/return/mean": float(stats.return_mean),
-                "evaluation/return/std": float(stats.return_std),
-                "evaluation/episode_length/mean": float(stats.episode_length_mean),
-                "evaluation/episode_length/std": float(stats.episode_length_std),
-                "evaluation/share_terminated": float(stats.share_terminated),
-                "crazyflie/return/mean": float(cf.return_mean),
-                "crazyflie/episode_length/mean": float(cf.episode_length_mean),
-                "crazyflie/share_terminated": float(cf.share_terminated),
-            },
-            env_steps,
-        )
+        stats = evaluate_student(eval_env, student, airframes, k_eval)
+        cf = evaluate_student(eval_env, student, crazyflie, k_eval, n_envs_per=16)
+        scalars = {
+            "evaluation/return/mean": float(stats.return_mean),
+            "evaluation/return/std": float(stats.return_std),
+            "evaluation/episode_length/mean": float(stats.episode_length_mean),
+            "evaluation/episode_length/std": float(stats.episode_length_std),
+            "evaluation/share_terminated": float(stats.share_terminated),
+            "crazyflie/return/mean": float(cf.return_mean),
+            "crazyflie/episode_length/mean": float(cf.episode_length_mean),
+            "crazyflie/share_terminated": float(cf.share_terminated),
+        }
+        if eval_env is not env:
+            fstats = evaluate_student(env, student, airframes, k_eval)
+            scalars.update(
+                {
+                    "fullinit/return/mean": float(fstats.return_mean),
+                    "fullinit/episode_length/mean": float(
+                        fstats.episode_length_mean
+                    ),
+                    "fullinit/share_terminated": float(fstats.share_terminated),
+                }
+            )
+        run.log(scalars, env_steps)
         # periodic checkpoint (reference: checkpoint per eval cadence)
         path = run.checkpoint_path(env_steps)
         ckpt_h5.save_actor(path, student, checkpoint_name=run.name)

@@ -45,6 +45,15 @@ class DistillConfig:
     batch_size: int = 64  # sequences per gradient step
     truncated_bptt: int = 0  # 0 = full-sequence BPTT
     learning_rate: float = 1e-3
+    # --- DAgger dataset aggregation (reference behavior: ~146k gradient
+    # steps over 160 rounds => ~913 steps/round, consistent with re-fitting
+    # an AGGREGATED dataset each round, not just the latest rollouts;
+    # BASELINE.md "round structure" + tfevents loss-counter analysis).
+    aggregate_capacity: int = 0  # sequences kept (0 = legacy: latest round only)
+    grad_steps_per_round: int = 0  # minibatch updates per round from aggregate
+    total_grad_steps: int = 0  # >0 enables warmup-cosine LR over this horizon
+    lr_warmup_frac: float = 0.02
+    lr_final_scale: float = 0.05  # cosine floor = lr * this
 
 
 class RoundData(NamedTuple):
@@ -137,6 +146,98 @@ def bptt_loss(student_params, obs, teacher_action, reset):
     return jnp.mean((actions - teacher_action) ** 2)
 
 
+class Aggregate(NamedTuple):
+    """Device-resident DAgger dataset: a reservoir of [T]-step sequences.
+
+    Stored bf16 (obs/labels are O(1) magnitudes; bf16 is lossless for the
+    0/1 reset mask) to halve HBM footprint — capacity 40k seqs * 500 steps
+    * 27 features ~= 1.1 GB. Columns [0:size) are valid; once full, new
+    rounds overwrite uniformly-random columns (reservoir-style, so the
+    training distribution stays close to uniform-over-history)."""
+
+    obs: jnp.ndarray  # [T, C, 22] bf16
+    teacher_action: jnp.ndarray  # [T, C, 4] bf16
+    reset: jnp.ndarray  # [T, C] bf16 (0/1)
+    size: jnp.ndarray  # [] int32, filled columns
+
+
+def aggregate_init(cfg: DistillConfig, obs_dim: int = POLICY_OBS_DIM) -> Aggregate:
+    T, C = cfg.rollout_length, cfg.aggregate_capacity
+    return Aggregate(
+        obs=jnp.zeros((T, C, obs_dim), jnp.bfloat16),
+        teacher_action=jnp.zeros((T, C, 4), jnp.bfloat16),
+        reset=jnp.zeros((T, C), jnp.bfloat16),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_aggregate_add(cfg: DistillConfig):
+    """Jitted (agg, RoundData, key) -> agg with the round's B sequences
+    appended (or reservoir-replacing random columns once full)."""
+    C = cfg.aggregate_capacity
+
+    def add(agg: Aggregate, data: RoundData, key: jax.Array) -> Aggregate:
+        B = data.obs.shape[1]
+        seq = agg.size + jnp.arange(B, dtype=jnp.int32)
+        rand = jax.random.randint(key, (B,), 0, C, dtype=jnp.int32)
+        idx = jnp.where(seq < C, seq, rand)
+        return Aggregate(
+            obs=agg.obs.at[:, idx].set(data.obs.astype(jnp.bfloat16)),
+            teacher_action=agg.teacher_action.at[:, idx].set(
+                data.teacher_action.astype(jnp.bfloat16)
+            ),
+            reset=agg.reset.at[:, idx].set(data.reset.astype(jnp.bfloat16)),
+            size=jnp.minimum(agg.size + B, C),
+        )
+
+    return jax.jit(add, donate_argnums=(0,))
+
+
+def make_optimizer(cfg: DistillConfig):
+    """Adam, optionally with warmup-cosine LR over total_grad_steps."""
+    if cfg.total_grad_steps > 0:
+        warmup = max(1, int(cfg.total_grad_steps * cfg.lr_warmup_frac))
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate * 0.1,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=cfg.total_grad_steps,
+            end_value=cfg.learning_rate * cfg.lr_final_scale,
+        )
+        return optax.adam(sched)
+    return optax.adam(cfg.learning_rate)
+
+
+def make_train_from_aggregate(cfg: DistillConfig):
+    """Jitted per-round trainer: `grad_steps_per_round` minibatch Adam steps,
+    each sampling batch_size sequences uniformly from the aggregate's valid
+    prefix and running full-sequence BPTT."""
+    optim = make_optimizer(cfg)
+
+    def train_round(student_params, opt_state, agg: Aggregate, key):
+        def step(carry, k):
+            params, opt = carry
+            bidx = jax.random.randint(
+                k, (cfg.batch_size,), 0, jnp.maximum(agg.size, 1)
+            )
+            obs = agg.obs[:, bidx].astype(jnp.float32)
+            lab = agg.teacher_action[:, bidx].astype(jnp.float32)
+            rst = agg.reset[:, bidx].astype(jnp.float32)
+            loss, grads = jax.value_and_grad(bptt_loss)(params, obs, lab, rst)
+            updates, opt = optim.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt), loss
+
+        (student_params, opt_state), losses = jax.lax.scan(
+            step,
+            (student_params, opt_state),
+            jax.random.split(key, cfg.grad_steps_per_round),
+        )
+        return student_params, opt_state, losses
+
+    return jax.jit(train_round), optim
+
+
 def make_train_epoch(cfg: DistillConfig):
     """Jitted one-epoch trainer: shuffles sequences, scans minibatch Adam
     steps with full-sequence BPTT."""
@@ -183,7 +284,13 @@ def distill(
     k_init, key = jax.random.split(key)
     student = student_net.init_params(k_init)
     collect = make_collect(env, cfg)
-    train_epoch, optim = make_train_epoch(cfg)
+    aggregated = cfg.aggregate_capacity > 0 and cfg.grad_steps_per_round > 0
+    if aggregated:
+        agg = aggregate_init(cfg)
+        agg_add = make_aggregate_add(cfg)
+        train_round, optim = make_train_from_aggregate(cfg)
+    else:
+        train_epoch, optim = make_train_epoch(cfg)
     opt_state = optim.init(student)
     env_params = broadcast_airframe_to_envs(airframes, cfg.envs_per_teacher)
 
@@ -191,19 +298,34 @@ def distill(
     grad_step = 0
     env_steps = 0
     for r in range(n_rounds):
-        key, k_collect, k_epoch = jax.random.split(key, 3)
+        key, k_collect, k_add, k_epoch = jax.random.split(key, 4)
         beta = teacher_mix(cfg, r)
         data = collect(student, teacher_actors, env_params, k_collect, beta)
         env_steps += cfg.rollout_length * data.obs.shape[1]
-        for e in range(cfg.epochs_per_round):
-            student, opt_state, losses = train_epoch(
-                student, opt_state, data, jax.random.fold_in(k_epoch, e)
+        if aggregated:
+            agg = agg_add(agg, data, k_add)
+            student, opt_state, losses = train_round(
+                student, opt_state, agg, k_epoch
             )
-            for loss in losses:
-                if log_fn is not None:
-                    log_fn("loss", float(loss), grad_step)
-                grad_step += 1
+            losses = jax.device_get(losses)
+            if log_fn is not None:
+                # log a decimated loss series (full series = one point per
+                # gradient step, like the reference's `loss` tag)
+                stride = max(1, len(losses) // 64)
+                for j in range(0, len(losses), stride):
+                    log_fn("loss", float(losses[j]), grad_step + j)
+            grad_step += len(losses)
             loss_history.append(float(losses[-1]))
+        else:
+            for e in range(cfg.epochs_per_round):
+                student, opt_state, losses = train_epoch(
+                    student, opt_state, data, jax.random.fold_in(k_epoch, e)
+                )
+                for loss in losses:
+                    if log_fn is not None:
+                        log_fn("loss", float(loss), grad_step)
+                    grad_step += 1
+                loss_history.append(float(losses[-1]))
         if round_hook is not None:
             round_hook(r, student, env_steps)
     return student, loss_history

@@ -105,6 +105,21 @@ class InitConfig:
     rpm_at_hover: bool = True  # start rotors near hover speed
 
 
+def eval_parity_init() -> InitConfig:
+    """The measured eval-parity initial-state distribution (VERDICT r1 #3).
+
+    Calibrated empirically with `apps/eval_parity.py`: the SHIPPED reference
+    policy replayed on our simulator reproduces its own logged final eval
+    stats (482.8/500 episode length, 4.2% terminated — BASELINE.md rows
+    23-24) at max_angle=1.0 (measured: 482.9/500, 4.3% across 32 random
+    airframes x 8 episodes; artifacts/eval_parity_sweep.json). Our default
+    training InitConfig samples attitudes up to pi, which no policy can
+    always recover from — use THIS config whenever comparing `evaluation/*`
+    numbers against the reference tfevents.
+    """
+    return InitConfig(max_angle=1.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class ObservationConfig:
     """Observation assembly (reference ckpt.h5::actor@meta):

@@ -108,6 +108,82 @@ def test_distill_reduces_loss(env):
     assert np.all(np.isfinite(history))
 
 
+def test_aggregate_reservoir_mechanics():
+    """Appending fills in order; once full, columns are replaced in place."""
+    cfg = post_training.DistillConfig(
+        rollout_length=6, aggregate_capacity=10, grad_steps_per_round=2,
+        batch_size=4,
+    )
+    agg = post_training.aggregate_init(cfg)
+    add = post_training.make_aggregate_add(cfg)
+
+    def round_data(val, B):
+        return post_training.RoundData(
+            obs=jnp.full((6, B, 22), val, jnp.float32),
+            teacher_action=jnp.full((6, B, 4), val, jnp.float32),
+            reset=jnp.zeros((6, B)),
+        )
+
+    agg = add(agg, round_data(1.0, 4), jax.random.key(0))
+    assert int(agg.size) == 4
+    agg = add(agg, round_data(2.0, 4), jax.random.key(1))
+    assert int(agg.size) == 8
+    obs = np.asarray(agg.obs[0, :, 0], np.float32)
+    assert np.allclose(obs[:4], 1.0) and np.allclose(obs[4:8], 2.0)
+    assert np.allclose(obs[8:], 0.0)
+    # overflow: size caps at capacity, new data lands somewhere valid
+    agg = add(agg, round_data(3.0, 4), jax.random.key(2))
+    assert int(agg.size) == 10
+    obs = np.asarray(agg.obs[0, :, 0], np.float32)
+    assert np.any(obs == 3.0)
+    assert not np.any(obs == 0.0) or int(agg.size) == 10
+
+
+def test_distill_aggregated_reduces_loss(env):
+    """Aggregation path: the student gets better at mimicking the teachers
+    on a held-out teacher-rollout probe set; grad-step counter spans
+    rounds x grad_steps_per_round."""
+    K = 2
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=8,
+        rollout_length=50,
+        batch_size=8,
+        teacher_mix_decay_rounds=2,
+        aggregate_capacity=128,
+        grad_steps_per_round=16,
+        total_grad_steps=64,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    # held-out probe: pure teacher rollouts (beta=1)
+    env_params = population.broadcast_airframe_to_envs(airframes, 8)
+    collect = post_training.make_collect(env, cfg)
+    student0 = student_net.init_params(jax.random.key(2))
+    probe = collect(student0, teachers, env_params, jax.random.key(99), 1.0)
+    loss_before = float(post_training.bptt_loss(
+        student0, probe.obs, probe.teacher_action, probe.reset
+    ))
+    steps_seen = []
+    student, history = post_training.distill(
+        jax.random.key(2),
+        env,
+        teachers,
+        airframes,
+        cfg,
+        n_rounds=4,
+        log_fn=lambda tag, v, s: steps_seen.append(s),
+    )
+    loss_after = float(post_training.bptt_loss(
+        student, probe.obs, probe.teacher_action, probe.reset
+    ))
+    assert len(history) == 4  # one entry per round
+    assert np.all(np.isfinite(history))
+    assert loss_after < loss_before * 0.5, (loss_before, loss_after)
+    assert max(steps_seen) >= 48  # grad-step counter spans rounds
+
+
 def test_population_multi_step_equivalence(env):
     """N batched super-steps == N sequential super-steps (same RNG path)."""
     pop_cfg = population.PopulationConfig(

@@ -63,3 +63,28 @@ def test_shipped_policy_flies_x500_class():
     )
     assert float(stats.episode_length_mean) > 400.0
     assert float(stats.share_terminated) < 0.25
+
+
+@pytest.mark.slow
+def test_eval_parity_protocol_reproduces_reference_stats():
+    """The measured eval-parity protocol (types.eval_parity_init,
+    max_angle=1.0): the shipped reference policy on OUR random-airframe
+    population reproduces its own logged final eval stats (482.8/500
+    episode length, 4.2% terminated — BASELINE.md). Calibration sweep:
+    apps/eval_parity.py -> artifacts/eval_parity_sweep.json."""
+    from raptor_tpu.env import sample_population
+    from raptor_tpu.env.types import eval_parity_init
+
+    params = ckpt_h5.load_actor(shipped_checkpoint_path())
+    env = L2F(EnvConfig(init=eval_parity_init()))
+    n_airframes, envs_per = 16, 4
+    frames = sample_population(jax.random.key(7), n_airframes)
+    stacked = jax.tree.map(lambda x: jnp.repeat(x, envs_per, axis=0), frames)
+    m = n_airframes * envs_per
+    step_fn, carry = evaluation.gru_policy_step(params, m)
+    stats = evaluation.evaluate(env, stacked, step_fn, carry,
+                                jax.random.key(8), m, 500)
+    # envelope around the reference's logged 482.8 / 4.2% (small-sample
+    # tolerance: 64 episodes here vs 256 in the calibration sweep)
+    assert 460.0 <= float(stats.episode_length_mean) <= 500.0
+    assert float(stats.share_terminated) <= 0.10
