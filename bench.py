@@ -1,49 +1,99 @@
-"""North-star benchmark: vectorized l2f env stepping throughput on one chip.
+"""North-star benchmark: vectorized l2f throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Metric (BASELINE.json): env-steps/s/chip for the vectorized l2f dynamics
-step. Two paths are measured:
-- fused:    the Pallas fused-rollout kernel (ops/pallas_rollout.py) — the
-            entire T-step RK4 rollout in VMEM, SoA layout (headline value);
-- env_step: the full XLA env.step (dynamics + reward + termination +
-            auto-reset) under lax.scan — the end-to-end semantic path.
+Four paths are measured (VERDICT r1 #6: carry the closed-loop numbers in
+the default line, not just the flattest metric):
 
-vs_baseline is the ratio to the reference pipeline's measured 10,580
-env-steps/s (SURVEY §6.2 — the only measured reference throughput; the
-driver-set target is >10M steps/s/chip).
+- fused_pallas_rollout: the Pallas fused-rollout kernel
+  (ops/pallas_rollout.py) — the entire T-step RK4 dynamics rollout in VMEM,
+  SoA layout, constant action (headline value);
+- fused_policy_eval:    the Pallas closed-loop kernel (ops/pallas_eval.py) —
+  shipped GRU policy + dynamics + reward + termination, whole episodes
+  in-kernel (the semantically complete eval path);
+- full_env_step_xla:    the full XLA env.step (dynamics + reward +
+  termination + auto-reset) under lax.scan;
+- train_env_steps_per_s: distillation throughput — student collect +
+  teacher labels + BPTT gradient steps, env-steps/s of wall-clock incl.
+  training. This is like-for-like with the only measured reference
+  throughput: 10,580 env-steps/s for its post-training run (BASELINE.md).
+
+Design: the parent process imports NO jax. Each metric runs in its own
+subprocess (`bench.py --sub <name>`), sequentially — so every measurement
+is the sole TPU process (NOTES.md one-process rule) and a cold-cache
+compile that overruns its timeout degrades that metric to null instead of
+hanging the bench. Warm (persistent cache in .cache/xla) every metric is
+seconds.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-
-# the axon TPU compile path is remote-RPC-bound (minutes for big fused XLA
-# graphs); the persistent cache makes every run after the first instant.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import jax.numpy as jnp
-
-REFERENCE_STEPS_PER_S = 10_580.0
+REFERENCE_STEPS_PER_S = 10_580.0  # reference post-training run, BASELINE.md
 N_ENVS = 16384
 N_STEPS = 512
+EVAL_STEPS = 500  # reference episode length
+
+# (name, timeout_s) — timeouts sized for a cold axon remote-compile
+# (Pallas kernels ~seconds; big XLA env graphs can take >10 min, NOTES.md).
+SUBBENCHES = [
+    ("fused_pallas_rollout", 900),
+    ("fused_policy_eval", 900),
+    ("full_env_step_xla", 1500),
+    ("train_env_steps_per_s", 1500),
+]
 
 
-def bench_fused(params, state):
+def _small():
+    """RAPTOR_BENCH_SMALL=1: tiny shapes for CPU smoke tests of the
+    plumbing (the real numbers are only meaningful on TPU)."""
+    return os.environ.get("RAPTOR_BENCH_SMALL") == "1"
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def _init_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _env_and_pop(jax, n_envs):
+    from raptor_tpu.env import EnvConfig, L2F, sample_population
+
+    env = L2F(EnvConfig())
+    kp, kr = jax.random.split(jax.random.key(0))
+    params = sample_population(kp, n_envs)
+    v_reset, _ = env.vector_ops()
+    es, _ = jax.jit(v_reset)(jax.random.split(kr, n_envs), params)
+    return env, params, es
+
+
+def bench_fused_pallas_rollout():
+    jax = _init_jax()
+    import jax.numpy as jnp
+
     from raptor_tpu.env import dynamics
     from raptor_tpu.ops import pallas_rollout as pr
 
+    n_envs, n_steps = (256, 64) if _small() else (N_ENVS, N_STEPS)
+    _, params, es = _env_and_pop(jax, n_envs)
     pp = pr.pack_params(params)
-    sp = pr.pack_state(state)
+    sp = pr.pack_state(es.dynamics)
     ha = jax.vmap(dynamics.hover_action)(params)
     ap = pr.pack_action(jnp.tile(ha[:, None], (1, 4)))
-    out, _ = pr.fused_rollout_packed(pp, sp, ap, N_STEPS)
+    out, _ = pr.fused_rollout_packed(pp, sp, ap, n_steps)
     float(jnp.sum(out[2]))  # warm + drain the queue
 
     # block_until_ready is unreliable through the axon tunnel (can return
@@ -54,67 +104,194 @@ def bench_fused(params, state):
         t0 = time.perf_counter()
         o = sp
         for _ in range(iters):
-            o, _ = pr.fused_rollout_packed(pp, o, ap, N_STEPS)
+            o, _ = pr.fused_rollout_packed(pp, o, ap, n_steps)
         float(jnp.sum(o[2]))  # hard sync
         return time.perf_counter() - t0
 
     lo, hi = 10, 40
     t_lo, t_hi = timed(lo), timed(hi)
-    return N_ENVS * N_STEPS * (hi - lo) / max(t_hi - t_lo, 1e-9)
+    return n_envs * n_steps * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
 
-def bench_env_step(env, params, es):
+def bench_fused_policy_eval():
+    """Closed-loop: shipped GRU policy + env, whole episodes in-kernel."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from raptor_tpu.checkpoint import h5
+    from raptor_tpu.ops.pallas_eval import make_fused_policy_eval
+    from raptor_tpu.policy import shipped_checkpoint_path
+
+    n_envs, n_steps = (256, 32) if _small() else (N_ENVS, EVAL_STEPS)
+    _, params, es = _env_and_pop(jax, n_envs)
+    policy = h5.load_actor(shipped_checkpoint_path())
+    run = make_fused_policy_eval(policy, n_steps)
+    out = run(params, es.dynamics)
+    float(jnp.sum(out[3]))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run(params, es.dynamics)
+        float(jnp.sum(out[3]))
+        return time.perf_counter() - t0
+
+    lo, hi = 5, 20
+    t_lo, t_hi = timed(lo), timed(hi)
+    return n_envs * n_steps * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+
+def bench_full_env_step_xla():
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    n_envs, n_steps = (256, 64) if _small() else (N_ENVS, N_STEPS)
+    env, params, es = _env_and_pop(jax, n_envs)
     _, v_step = env.vector_ops()
 
     @jax.jit
     def rollout(params, es):
         def body(es, _):
-            es, obs, r, d, _ = v_step(params, es, jnp.zeros((N_ENVS, 4)))
+            es, obs, r, d, _ = v_step(params, es, jnp.zeros((n_envs, 4)))
             return es, (jnp.sum(r), jnp.sum(d))
 
-        es, (rs, ds) = jax.lax.scan(body, es, None, length=N_STEPS)
+        es, (rs, ds) = jax.lax.scan(body, es, None, length=n_steps)
         return es, jnp.sum(rs), jnp.sum(ds)
 
-    es, r, d = rollout(params, es)
-    jax.block_until_ready(r)
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        es, r, d = rollout(params, es)
-    jax.block_until_ready(r)
-    return N_ENVS * N_STEPS * iters / (time.perf_counter() - t0)
+    es2, r, d = rollout(params, es)
+    float(r)
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        e = es
+        for _ in range(iters):
+            e, r, _ = rollout(params, e)
+        float(r)
+        return time.perf_counter() - t0
+
+    lo, hi = 2, 8
+    t_lo, t_hi = timed(lo), timed(hi)
+    return n_envs * n_steps * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+
+def bench_train_env_steps_per_s():
+    """Distillation pipeline throughput (the reference's 10,580 metric):
+    collect (student GRU + teacher relabeling over a [K, M] population) +
+    aggregate-add + BPTT minibatch gradient steps, measured as env-steps
+    per second of total wall-clock."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from raptor_tpu.distill import population, post_training
+    from raptor_tpu.env import EnvConfig, L2F
+    from raptor_tpu.policy import network as student_net
+    from raptor_tpu.rl import networks
+
+    K, M, T, gsteps = (4, 4, 32, 4) if _small() else (16, 8, EVAL_STEPS, 64)
+    env = L2F(EnvConfig())
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=M,
+        rollout_length=T,
+        batch_size=min(64, K * M),
+        aggregate_capacity=4 * K * M,
+        grad_steps_per_round=gsteps,
+        total_grad_steps=0,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(1), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (64, 64))
+    )(jax.random.split(jax.random.key(2), K))
+    env_params = population.broadcast_airframe_to_envs(airframes, M)
+    student = student_net.init_params(jax.random.key(3))
+    collect = post_training.make_collect(env, cfg)
+    add = post_training.make_aggregate_add(cfg)
+    train, optim = post_training.make_train_from_aggregate(cfg)
+    opt_state = optim.init(student)
+    agg = post_training.aggregate_init(cfg)
+
+    def one_round(student, opt_state, agg, i):
+        data = collect(student, teachers, env_params, jax.random.key(10 + i), 0.5)
+        agg = add(agg, data, jax.random.key(100 + i))
+        student, opt_state, losses = train(
+            student, opt_state, agg, jax.random.key(200 + i)
+        )
+        return student, opt_state, agg, losses
+
+    student, opt_state, agg, losses = one_round(student, opt_state, agg, 0)
+    float(jnp.sum(losses))  # warm all three programs
+
+    def timed(rounds, i0):
+        nonlocal student, opt_state, agg
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            student, opt_state, agg, losses = one_round(
+                student, opt_state, agg, i0 + i
+            )
+        float(jnp.sum(losses))
+        return time.perf_counter() - t0
+
+    lo, hi = 1, 4
+    t_lo, t_hi = timed(lo, 1), timed(hi, 2)
+    return K * M * T * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+
+# ------------------------------------------------------------ orchestration
+
+
+def run_sub(name, timeout_s):
+    """Run one metric in its own (sole-TPU) subprocess; None on any failure."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sub", name],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)["value"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return None
 
 
 def main():
-    from raptor_tpu.env import EnvConfig, L2F, sample_population
+    if len(sys.argv) == 3 and sys.argv[1] == "--sub":
+        fn = globals()["bench_" + sys.argv[2]]
+        print(json.dumps({"value": fn()}))
+        return
 
-    env = L2F(EnvConfig())
-    key = jax.random.key(0)
-    kp, kr = jax.random.split(key)
-    params = sample_population(kp, N_ENVS)
-    v_reset, _ = env.vector_ops()
-    es, _ = jax.jit(v_reset)(jax.random.split(kr, N_ENVS), params)
+    detail = {"n_envs": 256 if _small() else N_ENVS,
+              "n_steps": 64 if _small() else N_STEPS,
+              "small_smoke_mode": _small()}
+    for name, timeout_s in SUBBENCHES:
+        v = run_sub(name, timeout_s)
+        detail[name] = None if v is None else round(v)
 
-    fused = bench_fused(params, es.dynamics)
-    detail = {
-        "fused_pallas_rollout": round(fused),
-        "n_envs": N_ENVS,
-        "n_steps": N_STEPS,
-    }
-    # the XLA full-step program can take >10 min to compile through the
-    # axon remote-compile tunnel on a cold cache; opt-in to keep the
-    # default bench fast and reliable (measured 119M steps/s warm).
-    if os.environ.get("RAPTOR_BENCH_FULL") == "1":
-        detail["full_env_step_xla"] = round(bench_env_step(env, params, es))
-
+    headline = detail["fused_pallas_rollout"]
+    closed_loop = detail["fused_policy_eval"]
     print(
         json.dumps(
             {
                 "metric": "env-steps/s/chip (vectorized l2f step)",
-                "value": round(fused),
+                "value": headline,
                 "unit": "env-steps/s",
-                "vs_baseline": round(fused / REFERENCE_STEPS_PER_S, 2),
-                "detail": detail,
+                "vs_baseline": (
+                    None
+                    if headline is None
+                    else round(headline / REFERENCE_STEPS_PER_S, 2)
+                ),
+                "detail": dict(
+                    detail,
+                    target_10M_closed_loop_met=(
+                        bool(closed_loop and closed_loop >= 1e7)
+                    ),
+                ),
             }
         )
     )
