@@ -60,18 +60,33 @@ async def run(args):
     except Exception as e:  # no server — offline mode
         print(f"ui-server unreachable ({type(e).__name__}); printing frames")
 
+    # --record: persist the protocol session (every message that was / would
+    # have been sent) as JSON lines — a replayable ui-server session artifact.
+    rec = open(args.record, "w") if args.record else None
+    ns = client.namespace if client is not None else "offline"
+    if rec is not None:
+        rec.write(json.dumps(ui.ui_message(ns)) + "\n")
+        rec.write(json.dumps(ui.parameters_message(ns, params, n)) + "\n")
+
     for t in range(args.steps):
         obs = v_obs(params, state, prev)
         h, action = policy_net.apply_step(policy, h, obs[:, :22])
         action = jnp.clip(action, -1.0, 1.0)
         state, _ = v_dstep(params, state, action, None)
         prev = action
+        msg = None
+        if rec is not None or client is None:
+            msg = ui.state_action_message(ns, state, np.asarray(action))
+        if rec is not None:
+            rec.write(json.dumps(msg) + "\n")
         if client is not None:
             await client.render(state, np.asarray(action))
             await asyncio.sleep(args.dt)
         elif t % args.print_every == 0:
-            msg = ui.state_action_message("offline", state, np.asarray(action))
             print(json.dumps(msg["data"]["states"][0]))
+    if rec is not None:
+        rec.close()
+        print(f"recorded session -> {args.record}")
     if client is not None:
         await client.__aexit__()
 
@@ -88,6 +103,7 @@ def main(argv=None):
     p.add_argument("--url", default=ui.DEFAULT_URL)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-every", type=int, default=100)
+    p.add_argument("--record", help="write the protocol session as JSON lines")
     args = p.parse_args(argv)
     asyncio.run(run(args))
 
