@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--gradient-steps", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seq-len", type=int, default=64)
+    p.add_argument("--burn-in", type=int, default=8,
+                   help="window steps that only warm up hidden states (no loss)")
     p.add_argument("--warmup-super-steps", type=int, default=8)
     p.add_argument("--steps-per-call", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -49,7 +51,7 @@ def main(argv=None):
         sample_seq_len=args.seq_len,
         replay_capacity=4096,
     )
-    cfg = sac_gru.SACGRUConfig()
+    cfg = sac_gru.SACGRUConfig(burn_in=args.burn_in)
     key = jax.random.key(args.seed)
     k_pop, k_init, k_eval = jax.random.split(key, 3)
     params = sample_population(k_pop, args.n_envs)

@@ -88,7 +88,9 @@ def save_actor(
     if example_input is None:
         rng = np.random.default_rng(0)
         obs_dim = p["dense_0"]["weights"].shape[1]
-        example_input = rng.standard_normal((64, 2, obs_dim)).astype(np.float32)
+        # [500, 2, obs] — the reference's exact example shape (ckpt.h5::
+        # example/input is [SEQUENCE_LENGTH=500, BATCH=2, 22] synthetic noise)
+        example_input = rng.standard_normal((500, 2, obs_dim)).astype(np.float32)
     if example_output is None:
         import jax
 

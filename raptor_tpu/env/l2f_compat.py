@@ -106,9 +106,24 @@ def _make_vector_module(n_environments: int, config: EnvConfig = EnvConfig()):
             self.stacked = other.stacked
 
     class VectorState:
+        """Carries the dynamics pytree plus the observation histories the
+        configured obs spec needs (quad.EnvState semantics: oldest-first
+        ActionHistory(h) and AngularVelocityDelayed(d) rings)."""
+
         def __init__(self):
+            h = config.observation.action_history_length
+            d = config.observation.angular_velocity_delay
             self.dynamics = None
-            self.prev_action = jnp.zeros((n_environments, 4), jnp.float32)
+            self.action_history = jnp.zeros(
+                (n_environments, h, 4), jnp.float32
+            )
+            self.angvel_history = jnp.zeros(
+                (n_environments, d + 1, 3), jnp.float32
+            )
+
+        @property
+        def prev_action(self):
+            return self.action_history[:, -1]
 
         @property
         def states(self):
@@ -116,7 +131,8 @@ def _make_vector_module(n_environments: int, config: EnvConfig = EnvConfig()):
 
         def assign(self, other: "VectorState"):
             self.dynamics = other.dynamics
-            self.prev_action = other.prev_action
+            self.action_history = other.action_history
+            self.angvel_history = other.angvel_history
 
     mod.VectorRng = VectorRng
     mod.VectorEnvironment = VectorEnvironment
@@ -152,20 +168,32 @@ def sample_initial_parameters(device: Device, env, params, rng):
 
 def sample_initial_state(device: Device, env, params, state, rng):
     n = env.N_ENVIRONMENTS
+    cfg = env.impl.config.observation
     keys = jax.random.split(rng.split(), n)
     state.dynamics = jax.vmap(env.impl.sample_state)(keys, params.stacked)
-    state.prev_action = jnp.zeros((n, 4), jnp.float32)
+    state.action_history = jnp.zeros(
+        (n, cfg.action_history_length, 4), jnp.float32
+    )
+    # pre-fill the delay ring with the true initial angvel (quad.reset:218)
+    state.angvel_history = jnp.broadcast_to(
+        state.dynamics.angular_velocity[:, None, :],
+        (n, cfg.angular_velocity_delay + 1, 3),
+    )
 
 
 def observe(device: Device, env, params, state, observation: np.ndarray, rng):
-    obs = jax.vmap(env.impl.observe)(
-        params.stacked, state.dynamics, state.prev_action
+    obs = jax.vmap(env.impl.observe, in_axes=(0, 0, 0, None, 0))(
+        params.stacked, state.dynamics, state.action_history, None,
+        state.angvel_history,
     )
     observation[...] = np.asarray(obs)
 
 
 def step(device: Device, env, params, state, action, next_state, rng):
-    """Advance dynamics; returns per-env dts (reference README:96)."""
+    """Advance dynamics; returns per-env dts (reference README:96).
+
+    Maintains the observation history rings exactly like quad.step:278-282
+    (shift, append newest)."""
     n = env.N_ENVIRONMENTS
     keys = jax.random.split(rng.split(), n)
     a = jnp.asarray(action, jnp.float32)
@@ -173,7 +201,12 @@ def step(device: Device, env, params, state, action, next_state, rng):
         params.stacked, state.dynamics, a, keys
     )
     next_state.dynamics = nxt
-    next_state.prev_action = a
+    next_state.action_history = jnp.concatenate(
+        [state.action_history[:, 1:], a[:, None]], axis=1
+    )
+    next_state.angvel_history = jnp.concatenate(
+        [state.angvel_history[:, 1:], nxt.angular_velocity[:, None]], axis=1
+    )
     return np.asarray(dts)
 
 

@@ -73,32 +73,28 @@ def _actor_slice(obs: jnp.ndarray, run_cfg: RunnerConfig) -> jnp.ndarray:
     return obs[..., : run_cfg.actor_obs_dim]
 
 
-def collect(
-    state: TrainerState,
-    env: L2F,
-    params: DynamicsParams,
-    run_cfg: RunnerConfig,
-    random_actions: bool = False,
-) -> TrainerState:
-    """Roll H steps of N envs with the current actor; bulk-write to replay.
+def collect_rollout(env, params, run_cfg, explore, es, obs, key,
+                    random_actions=False):
+    """Shared H-step rollout scaffold (used by this runner AND
+    runner_generic): scan N envs, bulk transitions out.
 
     Uses info['final_obs'] for the bootstrap target and counts only true
     terminations (not truncations) as `done` — standard partial-episode
     bootstrapping.
-    """
+
+    explore: (key, obs_sliced) -> action.
+    Returns (es, obs, key, (o, a, r, next_o, d))."""
     _, v_step = env.vector_ops()
 
     def body(carry, _):
         es, obs, key = carry
-        key, k_act, k_step = jax.random.split(key, 3)
+        key, k_act = jax.random.split(key)
         if random_actions:
             action = jax.random.uniform(
                 k_act, (run_cfg.n_envs, env.ACTION_DIM), minval=-1.0, maxval=1.0
             )
         else:
-            action, _ = networks.actor_sample(
-                state.sac.actor, k_act, _actor_slice(obs, run_cfg)
-            )
+            action = explore(k_act, _actor_slice(obs, run_cfg))
         es, next_obs, reward, done, info = v_step(params, es, action)
         transition = (
             obs,
@@ -109,11 +105,52 @@ def collect(
         )
         return (es, next_obs, key), transition
 
-    (es, obs, key), (o, a, r, no, d) = jax.lax.scan(
-        body,
-        (state.env_state, state.obs, state.key),
-        None,
-        length=run_cfg.rollout_length,
+    (es, obs, key), out = jax.lax.scan(
+        body, (es, obs, key), None, length=run_cfg.rollout_length
+    )
+    return es, obs, key, out
+
+
+def train_steps(run_cfg, update, buffer, learner, key):
+    """Shared G-gradient-step scaffold: sample minibatches from replay,
+    apply `update: (learner, key, batch) -> (learner, metrics)`.
+    Returns (learner, key, last_metrics)."""
+
+    def body(carry, _):
+        learner, key = carry
+        key, k_sample, k_update = jax.random.split(key, 3)
+        obs, action, reward, next_obs, done = replay.transition_buffer_sample(
+            buffer, k_sample, run_cfg.batch_size
+        )
+        batch = (
+            _actor_slice(obs, run_cfg),
+            action,
+            reward,
+            _actor_slice(next_obs, run_cfg),
+            done,
+        )
+        learner, metrics = update(learner, k_update, batch)
+        return (learner, key), metrics
+
+    (learner, key), metrics = jax.lax.scan(
+        body, (learner, key), None, length=run_cfg.gradient_steps
+    )
+    return learner, key, jax.tree.map(lambda m: m[-1], metrics)
+
+
+def collect(
+    state: TrainerState,
+    env: L2F,
+    params: DynamicsParams,
+    run_cfg: RunnerConfig,
+    random_actions: bool = False,
+) -> TrainerState:
+    """Roll H steps of N envs with the current SAC actor; bulk-write to
+    replay (see collect_rollout for the transition semantics)."""
+    explore = lambda k, o: networks.actor_sample(state.sac.actor, k, o)[0]
+    es, obs, key, (o, a, r, no, d) = collect_rollout(
+        env, params, run_cfg, explore, state.env_state, state.obs, state.key,
+        random_actions,
     )
     buffer = replay.transition_buffer_add_rollout(state.buffer, o, a, r, no, d)
     return state.replace(
@@ -131,29 +168,11 @@ def train(
     run_cfg: RunnerConfig,
     sac_cfg: sac.SACConfig,
 ) -> Tuple[TrainerState, sac.SACMetrics]:
-    """G gradient steps on minibatches from replay."""
-
-    def body(carry, _):
-        sac_state, key = carry
-        key, k_sample, k_update = jax.random.split(key, 3)
-        batch = replay.transition_buffer_sample(
-            state.buffer, k_sample, run_cfg.batch_size
-        )
-        obs, action, reward, next_obs, done = batch
-        batch = (
-            _actor_slice(obs, run_cfg),
-            action,
-            reward,
-            _actor_slice(next_obs, run_cfg),
-            done,
-        )
-        sac_state, metrics = sac.sac_update(sac_state, k_update, batch, sac_cfg)
-        return (sac_state, key), metrics
-
-    (sac_state, key), metrics = jax.lax.scan(
-        body, (state.sac, state.key), None, length=run_cfg.gradient_steps
+    """G SAC gradient steps on minibatches from replay."""
+    update = lambda st, k, b: sac.sac_update(st, k, b, sac_cfg)
+    sac_state, key, last = train_steps(
+        run_cfg, update, state.buffer, state.sac, state.key
     )
-    last = jax.tree.map(lambda m: m[-1], metrics)
     return state.replace(sac=sac_state, key=key), last
 
 

@@ -19,7 +19,7 @@ from flax import struct
 
 from raptor_tpu.env.quad import L2F, EnvState
 from raptor_tpu.env.types import DynamicsParams
-from raptor_tpu.rl import replay
+from raptor_tpu.rl import replay, runner
 from raptor_tpu.rl.runner import RunnerConfig
 
 
@@ -100,51 +100,22 @@ def generic_trainer_init(
     )
 
 
-def _slice(obs, run_cfg):
-    return obs if run_cfg.actor_obs_dim is None else obs[..., : run_cfg.actor_obs_dim]
-
-
 def make_generic_super_step(
     env: L2F, run_cfg: RunnerConfig, spec: AlgorithmSpec, random_actions: bool = False
 ):
-    _, v_step = env.vector_ops()
+    """One jitted (collect H + train G) program on the shared scaffolds
+    (runner.collect_rollout / runner.train_steps — single source of truth
+    for the transition/bootstrap semantics)."""
 
     def super_step(state: GenericTrainerState, params) -> Tuple[GenericTrainerState, Any]:
-        def collect_body(carry, _):
-            es, obs, key = carry
-            key, k_act = jax.random.split(key)
-            if random_actions:
-                action = jax.random.uniform(
-                    k_act, (run_cfg.n_envs, env.ACTION_DIM), minval=-1.0, maxval=1.0
-                )
-            else:
-                action = spec.explore(state.learner, k_act, _slice(obs, run_cfg))
-            es, next_obs, reward, done, info = v_step(params, es, action)
-            out = (obs, action, reward, info["final_obs"],
-                   info["terminated"].astype(jnp.float32))
-            return (es, next_obs, key), out
-
-        (es, obs, key), (o, a, r, no, d) = jax.lax.scan(
-            collect_body,
-            (state.env_state, state.obs, state.key),
-            None,
-            length=run_cfg.rollout_length,
+        explore = lambda k, o: spec.explore(state.learner, k, o)
+        es, obs, key, (o, a, r, no, d) = runner.collect_rollout(
+            env, params, run_cfg, explore,
+            state.env_state, state.obs, state.key, random_actions,
         )
         buffer = replay.transition_buffer_add_rollout(state.buffer, o, a, r, no, d)
-
-        def train_body(carry, _):
-            learner, key = carry
-            key, k_s, k_u = jax.random.split(key, 3)
-            obs_b, act_b, rew_b, next_b, done_b = replay.transition_buffer_sample(
-                buffer, k_s, run_cfg.batch_size
-            )
-            batch = (_slice(obs_b, run_cfg), act_b, rew_b,
-                     _slice(next_b, run_cfg), done_b)
-            learner, metrics = spec.update(learner, k_u, batch)
-            return (learner, key), metrics
-
-        (learner, key), metrics = jax.lax.scan(
-            train_body, (state.learner, key), None, length=run_cfg.gradient_steps
+        learner, key, last = runner.train_steps(
+            run_cfg, spec.update, buffer, state.learner, key
         )
         new_state = state.replace(
             learner=learner,
@@ -155,6 +126,6 @@ def make_generic_super_step(
             total_env_steps=state.total_env_steps
             + run_cfg.rollout_length * run_cfg.n_envs,
         )
-        return new_state, jax.tree.map(lambda m: m[-1], metrics)
+        return new_state, last
 
     return jax.jit(super_step, donate_argnums=(0,))

@@ -38,6 +38,10 @@ class SACGRUConfig:
     hidden_dim: int = 16  # GRU width (foundation policy: 16)
     log_std_min: float = -10.0
     log_std_max: float = 2.0
+    # R2D2-style burn-in (VERDICT r1 weak #4): sampled windows re-inject the
+    # learned h0 at t=0, which is biased mid-episode; the first `burn_in`
+    # steps only warm up the hidden states and are masked out of every loss.
+    burn_in: int = 0
 
 
 class SACGRUState(struct.PyTreeNode):
@@ -172,6 +176,11 @@ def sac_gru_update(
     # truncation boundaries (reset without done) are excluded, since their
     # successor row belongs to another episode.
     valid = jnp.maximum(1.0 - reset[1:], done[:-1])  # [T-1, B]
+    # burn-in: steps t < burn_in only warm up hidden states — no loss.
+    trained = (jnp.arange(T) >= config.burn_in).astype(jnp.float32)  # [T]
+    valid = valid * trained[:-1, None]
+    w_actor = jnp.broadcast_to(trained[:, None], (T, B))  # [T, B]
+    n_actor = jnp.maximum(jnp.sum(w_actor), 1.0)
     target_q = jax.lax.stop_gradient(
         reward[:-1] + config.gamma * (1.0 - done[:-1]) * v_next[1:]
     )
@@ -202,7 +211,7 @@ def sac_gru_update(
         q1 = critic_forward(critic1, obs, pi, reset)
         q2 = critic_forward(critic2, obs, pi, reset)
         q = jnp.minimum(q1, q2)
-        return jnp.mean(alpha * logp - q), logp
+        return jnp.sum(w_actor * (alpha * logp - q)) / n_actor, logp
 
     (actor_loss, logp_val), actor_grads = jax.value_and_grad(
         actor_loss_fn, has_aux=True
@@ -212,9 +221,11 @@ def sac_gru_update(
 
     # ---- alpha ----
     def alpha_loss_fn(log_alpha):
-        return -jnp.mean(
-            jnp.exp(log_alpha) * jax.lax.stop_gradient(logp_val + target_entropy)
-        )
+        return -jnp.sum(
+            w_actor
+            * jnp.exp(log_alpha)
+            * jax.lax.stop_gradient(logp_val + target_entropy)
+        ) / n_actor
 
     _, al_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
     al_updates, alpha_opt = al_optim.update(al_grad, state.alpha_opt, state.log_alpha)
@@ -239,7 +250,7 @@ def sac_gru_update(
         critic_loss=critic_loss,
         actor_loss=actor_loss,
         alpha=jnp.exp(log_alpha),
-        entropy=-jnp.mean(logp_val),
+        entropy=-jnp.sum(w_actor * logp_val) / n_actor,
     )
 
 
