@@ -54,11 +54,92 @@ def summarize(scalars: dict, label: str) -> dict:
     return out
 
 
+def matched_curves(ours: dict, ref: dict, tags=None) -> dict:
+    """Align the two runs on the env-steps axis (VERDICT r1 #3: apples-to-
+    apples comparison): for each of our eval points, linearly interpolate
+    the reference curve at the same env-step count."""
+    import numpy as np
+
+    tags = tags or [
+        "evaluation/return/mean",
+        "evaluation/episode_length/mean",
+        "evaluation/share_terminated",
+        "crazyflie/return/mean",
+        "crazyflie/episode_length/mean",
+        "crazyflie/share_terminated",
+    ]
+    out = {}
+    for tag in tags:
+        o, r = ours.get(tag), ref.get(tag)
+        if not o or not r:
+            continue
+        o_steps = np.asarray([s for s, _ in o], dtype=np.float64)
+        o_vals = np.asarray([v for _, v in o])
+        r_steps = np.asarray([s for s, _ in r], dtype=np.float64)
+        r_vals = np.asarray([v for _, v in r])
+        r_interp = np.interp(o_steps, r_steps, r_vals)
+        stride = max(1, len(o_steps) // 16)
+        out[tag] = [
+            {
+                "env_steps": int(o_steps[i]),
+                "ours": round(float(o_vals[i]), 2),
+                "reference": round(float(r_interp[i]), 2),
+            }
+            for i in range(0, len(o_steps), stride)
+        ] + (
+            []
+            if (len(o_steps) - 1) % stride == 0
+            else [
+                {
+                    "env_steps": int(o_steps[-1]),
+                    "ours": round(float(o_vals[-1]), 2),
+                    "reference": round(float(r_interp[-1]), 2),
+                }
+            ]
+        )
+    return out
+
+
+def write_report(path: str, report: dict) -> None:
+    """Markdown artifact: final-stat table + matched-step curve tables."""
+    lines = [
+        "# Run vs reference post-training (matched env-steps)",
+        "",
+        f"Ours: `{report['ours']['label']}`",
+        f"Reference: {report['reference']['label']} "
+        "(tfevents inside /root/reference/data/raptor-policy-checkpoint.tar.gz)",
+        "",
+        "## Final stats",
+        "",
+        "| metric | ours | reference |",
+        "|---|---|---|",
+    ]
+    for k in ("final_return", "final_episode_length", "final_share_terminated",
+              "crazyflie_final_return", "n_gradient_steps", "final_loss",
+              "final_step"):
+        a, b = report["ours"].get(k), report["reference"].get(k)
+        if a is not None or b is not None:
+            fmt = lambda v: "—" if v is None else (
+                f"{v:.3f}" if isinstance(v, float) else str(v))
+            lines.append(f"| {k} | {fmt(a)} | {fmt(b)} |")
+    for tag, rows in report.get("matched_curves", {}).items():
+        lines += ["", f"## {tag} (reference interpolated at our env-steps)",
+                  "", "| env-steps | ours | reference |", "|---|---|---|"]
+        lines += [f"| {r['env_steps']:,} | {r['ours']} | {r['reference']} |"
+                  for r in rows]
+    lines += ["", "Eval-parity protocol: InitConfig(max_angle=1.0) — measured "
+              "to reproduce the reference policy's own logged eval envelope "
+              "(apps/eval_parity.py; docs/EVAL_PARITY.md).", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("run_events", nargs="?",
                    help="tfevents file (or glob) of the run to compare; "
                         "default: newest under experiments/")
+    p.add_argument("--out", help="write a markdown report artifact here")
     args = p.parse_args(argv)
 
     if args.run_events:
@@ -72,17 +153,20 @@ def main(argv=None):
         p.error("no run tfevents found")
     run_path = candidates[-1]
 
-    ours = summarize(tfevents.read_scalars(run_path), run_path)
-    ref = summarize(
-        tfevents.read_scalars(reference_log_path()),
-        "reference post-training (2025-04-19_16-16-17)",
-    )
+    our_scalars = tfevents.read_scalars(run_path)
+    ref_scalars = tfevents.read_scalars(reference_log_path())
+    ours = summarize(our_scalars, run_path)
+    ref = summarize(ref_scalars, "reference post-training (2025-04-19_16-16-17)")
     report = {"ours": ours, "reference": ref}
     if "final_return" in ours and "final_return" in ref:
         report["return_ratio_vs_reference"] = round(
             ours["final_return"] / ref["final_return"], 3
         )
+    report["matched_curves"] = matched_curves(our_scalars, ref_scalars)
     print(json.dumps(report, indent=2))
+    if args.out:
+        write_report(args.out, report)
+        print(f"report -> {args.out}")
     return report
 
 

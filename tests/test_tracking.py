@@ -63,3 +63,28 @@ def test_extrack_run(tmp_path):
     out = tfevents.read_scalars(run.writer.path)
     assert out["loss"][0] == (10, 0.5)
     assert run.checkpoint_path(7).endswith("000000000007.h5")
+
+
+def test_compare_baseline_matched_curves(tmp_path):
+    """VERDICT r1 #3: apples-to-apples curves — the reference series is
+    interpolated at OUR env-step positions so each row compares equals."""
+    from raptor_tpu.apps import compare_baseline as cb
+
+    ours = {"evaluation/return/mean": [(100, 10.0), (200, 20.0), (300, 30.0)]}
+    ref = {"evaluation/return/mean": [(0, 0.0), (400, 40.0)]}
+    out = cb.matched_curves(ours, ref)
+    rows = out["evaluation/return/mean"]
+    assert [r["env_steps"] for r in rows] == [100, 200, 300]
+    # linear reference: interp at matched steps equals ours exactly
+    assert all(r["ours"] == r["reference"] for r in rows)
+
+    report = {
+        "ours": {"label": "run-a", "final_return": 30.0},
+        "reference": {"label": "ref", "final_return": 40.0},
+        "matched_curves": out,
+    }
+    path = str(tmp_path / "report.md")
+    cb.write_report(path, report)
+    text = open(path).read()
+    assert "| 300 | 30.0 | 30.0 |" in text
+    assert "final_return" in text
