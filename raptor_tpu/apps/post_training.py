@@ -70,6 +70,10 @@ def main(argv=None):
     p.add_argument("--grad-steps-per-round", type=int, default=0,
                    help="minibatch updates per round from the aggregate "
                         "(reference: ~913/round avg, 146k total)")
+    p.add_argument("--fused-collect", action="store_true",
+                   help="collect beta==0 rounds through the fused Pallas "
+                        "rollout kernel + batched MXU relabel pass "
+                        "(ops/pallas_collect.py)")
     p.add_argument("--eval-max-angle", type=float, default=0.0,
                    help="eval-parity InitConfig.max_angle for evaluation/* "
                         "and crazyflie/* tags (0 = use training init)")
@@ -93,6 +97,7 @@ def main(argv=None):
         aggregate_capacity=args.aggregate_capacity,
         grad_steps_per_round=args.grad_steps_per_round,
         total_grad_steps=total_grad if args.aggregate_capacity else 0,
+        fused_collect=args.fused_collect,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})
