@@ -46,11 +46,7 @@ from raptor_tpu.env.types import (
     EnvConfig,
     State,
 )
-from raptor_tpu.ops.pallas_eval import (
-    _obs_tiles,
-    _policy_step,
-    _weights_to_constants,
-)
+from raptor_tpu.ops.pallas_eval import _obs_tiles
 from raptor_tpu.ops.pallas_rollout import (
     LANES,
     N_PARAM,
@@ -63,6 +59,101 @@ from raptor_tpu.ops.pallas_rollout import (
 
 OBS_CH = 22  # policy observation channels recorded
 OUT_CH = OBS_CH + 1  # + reset mask channel
+
+
+# ---------------------------------------------------------------------------
+# student weights as an SMEM operand vector (NOT compile-time constants):
+# the student changes every DAgger round, and baked constants would force a
+# fresh Mosaic compile per round (~2 s x 160 rounds, and a persistent-cache
+# miss each time).  2,084 scalars in SMEM keep ONE compiled kernel for the
+# whole run; each weight is a scalar SMEM read broadcast against env tiles,
+# the same FMA count as the baked form.
+# ---------------------------------------------------------------------------
+
+
+def _policy_sizes(policy_params):
+    H = int(policy_params["gru_1"]["initial_hidden_state"].shape[-1])
+    obs_dim = int(policy_params["dense_0"]["weights"].shape[-1])
+    return H, obs_dim
+
+
+def flatten_policy(policy_params) -> jnp.ndarray:
+    """Pack the student GRU policy into one (1, P) f32 vector with the fixed
+    layout the kernel indexes: w0 [H,O] . b0 [H] . wi [3H,H] . wh [3H,H] .
+    bi [3H] . bh [3H] . h0 [H] . w2 [4,H] . b2 [4]."""
+    p = policy_params
+    parts = [
+        p["dense_0"]["weights"].reshape(-1),
+        p["dense_0"]["biases"].reshape(-1),
+        p["gru_1"]["weights_input"].reshape(-1),
+        p["gru_1"]["weights_hidden"].reshape(-1),
+        p["gru_1"]["biases_input"].reshape(-1),
+        p["gru_1"]["biases_hidden"].reshape(-1),
+        p["gru_1"]["initial_hidden_state"].reshape(-1),
+        p["dense_2"]["weights"].reshape(-1),
+        p["dense_2"]["biases"].reshape(-1),
+    ]
+    return jnp.concatenate(
+        [jnp.asarray(x, jnp.float32) for x in parts]
+    ).reshape(1, -1)
+
+
+def _w_offsets(H: int, O: int):
+    off = {}
+    cur = 0
+    for name, size in (
+        ("w0", H * O), ("b0", H), ("wi", 3 * H * H), ("wh", 3 * H * H),
+        ("bi", 3 * H), ("bh", 3 * H), ("h0", H), ("w2", 4 * H), ("b2", 4),
+    ):
+        off[name] = cur
+        cur += size
+    off["_total"] = cur
+    return off
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _policy_step_smem(w_ref, off, H, O, obs, h):
+    """One policy step on tiles, weights read as scalars from SMEM.
+
+    Mirrors pallas_eval._policy_step (streaming per-unit GRU, PyTorch r,z,n
+    gate order — SURVEY §A.2) with w_ref[0, idx] scalar loads in place of
+    baked constants."""
+    W0, B0 = off["w0"], off["b0"]
+    WI, WH, BI, BH = off["wi"], off["wh"], off["bi"], off["bh"]
+    W2, B2 = off["w2"], off["b2"]
+    x = []
+    for i in range(H):
+        acc = w_ref[0, B0 + i]
+        for j in range(O):
+            acc = acc + w_ref[0, W0 + i * O + j] * obs[j]
+        x.append(jnp.maximum(acc, 0.0))
+    h_new = []
+    for i in range(H):
+        gi_r, gh_r = w_ref[0, BI + i], w_ref[0, BH + i]
+        gi_z, gh_z = w_ref[0, BI + H + i], w_ref[0, BH + H + i]
+        gi_n, gh_n = w_ref[0, BI + 2 * H + i], w_ref[0, BH + 2 * H + i]
+        for j in range(H):
+            xj, hj = x[j], h[j]
+            gi_r = gi_r + w_ref[0, WI + i * H + j] * xj
+            gh_r = gh_r + w_ref[0, WH + i * H + j] * hj
+            gi_z = gi_z + w_ref[0, WI + (H + i) * H + j] * xj
+            gh_z = gh_z + w_ref[0, WH + (H + i) * H + j] * hj
+            gi_n = gi_n + w_ref[0, WI + (2 * H + i) * H + j] * xj
+            gh_n = gh_n + w_ref[0, WH + (2 * H + i) * H + j] * hj
+        r = _sigmoid(gi_r + gh_r)
+        z = _sigmoid(gi_z + gh_z)
+        n = jnp.tanh(gi_n + r * gh_n)
+        h_new.append((1.0 - z) * n + z * h[i])
+    action = []
+    for i in range(4):
+        acc = w_ref[0, B2 + i]
+        for j in range(H):
+            acc = acc + w_ref[0, W2 + i * H + j] * h_new[j]
+        action.append(jnp.clip(acc, -1.0, 1.0))
+    return h_new, action
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +236,9 @@ def _sample_state_tiles(P, ctr, init):
 
 
 def _collect_kernel(
-    seed_ref, params_ref, state_ref, out_ref, carry_ref, *,
-    W, chunk, dt, episode_length, pos_bound, angvel_bound, init, br,
+    seed_ref, w_ref, params_ref, state_ref, out_ref, carry_ref, *,
+    H, O, off, chunk, dt, episode_length, pos_bound, angvel_bound, init, br,
 ):
-    H = len(W["h0"])
     i, t = pl.program_id(0), pl.program_id(1)
     P = [params_ref[c] for c in range(N_PARAM)]
     rpm_min, rpm_max = P[39], P[40]
@@ -164,7 +254,7 @@ def _collect_kernel(
             carry_ref[c] = state_ref[c]
         zeros = state_ref[0] * 0.0
         for c in range(H):
-            carry_ref[N_STATE + c] = zeros + W["h0"][c]
+            carry_ref[N_STATE + c] = zeros + w_ref[0, off["h0"] + c]
         for c in range(4):
             carry_ref[N_STATE + H + c] = zeros
         carry_ref[N_STATE + H + 4] = zeros  # per-env step counter
@@ -178,7 +268,7 @@ def _collect_kernel(
     def step(k, carry):
         s, h, prev, tcount = carry
         obs = _obs_tiles(s, prev)
-        h_new, action = _policy_step(W, obs, h)
+        h_new, action = _policy_step_smem(w_ref, off, H, O, obs, h)
         for c in range(OBS_CH):
             out_ref[c, pl.ds(k, 1)] = obs[c][None]
         setpoint = tuple(
@@ -233,7 +323,7 @@ def _collect_kernel(
         keep = 1.0 - done
         s3 = tuple(f * done + a * keep for f, a in zip(fresh, s2))
         h3 = tuple(
-            (s2[0] * 0.0 + W["h0"][c]) * done + h_new[c] * keep
+            (s2[0] * 0.0 + w_ref[0, off["h0"] + c]) * done + h_new[c] * keep
             for c in range(H)
         )
         prev3 = tuple(a * keep for a in action)
@@ -252,27 +342,14 @@ def _collect_kernel(
     carry_ref[N_STATE + H + 4] = tcount
 
 
-def make_fused_collect(
-    student_params: Dict[str, Any],
-    n_steps: int,
-    config: EnvConfig = EnvConfig(),
-    chunk: int = 10,
-    block_rows: int = 8,
+@functools.lru_cache(maxsize=8)
+def _make_runner(
+    H: int, O: int, n_steps: int, config: EnvConfig, chunk: int,
+    block_rows: int,
 ):
-    """Build a jitted fused collect for one student checkpoint.
-
-    Returns fn(params [N], state0 [N], seed int32) ->
-    (obs [T, N, 22] f32, reset [T, N] f32).  Student weights are baked in as
-    compile-time constants (the proven pallas_eval scheme — ~2 s Mosaic
-    recompile per round); the observation stream is pipelined to HBM by
-    blocking the grid over (env rows, time chunks) with the loop carry
-    persisted in VMEM scratch across time chunks.
-    """
-    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
-    assert config.observation.action_history_length == 1
-    assert config.observation.angular_velocity_delay == 0
-    W = _weights_to_constants(student_params)
-    H = len(W["h0"])
+    """One jitted runner per (network size, env config, rollout shape) —
+    weights flow in as an operand, so every DAgger round reuses the same
+    compiled kernel (jit cache hit; no per-round Mosaic compile)."""
     init = {
         "position_range": config.init.position_range,
         "max_angle": config.init.max_angle,
@@ -280,10 +357,11 @@ def make_fused_collect(
         "av_std": config.init.angular_velocity_std,
         "rpm_at_hover": config.init.rpm_at_hover,
     }
+    off = _w_offsets(H, O)
     n_chunks = n_steps // chunk
 
     @jax.jit
-    def run(params: DynamicsParams, state0: State, seed):
+    def run(wflat, params: DynamicsParams, state0: State, seed):
         n = state0.position.shape[0]
         pp = pack_params(params)
         sp = pack_state(state0)
@@ -292,7 +370,9 @@ def make_fused_collect(
         grid = (rows // br, n_chunks)
         kernel = functools.partial(
             _collect_kernel,
-            W=W,
+            H=H,
+            O=O,
+            off=off,
             chunk=chunk,
             dt=config.dt,
             episode_length=float(config.episode_length),
@@ -307,6 +387,8 @@ def make_fused_collect(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, off["_total"]), lambda i, t: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((N_PARAM, br, LANES), lambda i, t: (0, i, 0),
                              memory_space=pltpu.VMEM),
@@ -323,10 +405,35 @@ def make_fused_collect(
             scratch_shapes=[
                 pltpu.VMEM((N_STATE + H + 4 + 1, br, LANES), jnp.float32)
             ],
-        )(jnp.asarray(seed, jnp.int32).reshape(1, 1), pp, sp)
+        )(jnp.asarray(seed, jnp.int32).reshape(1, 1), wflat, pp, sp)
         flat = out.reshape(OUT_CH, n_steps, rows * LANES)[:, :, :n]
         obs = jnp.transpose(flat[:OBS_CH], (1, 2, 0))  # [T, N, 22]
         reset = flat[OBS_CH]  # [T, N]
         return obs, reset
 
     return run
+
+
+def make_fused_collect(
+    student_params: Dict[str, Any],
+    n_steps: int,
+    config: EnvConfig = EnvConfig(),
+    chunk: int = 10,
+    block_rows: int = 8,
+):
+    """Fused collect for one student checkpoint.
+
+    Returns fn(params [N], state0 [N], seed int32) ->
+    (obs [T, N, 22] f32, reset [T, N] f32).  The observation stream is
+    pipelined to HBM by blocking the grid over (env rows, time chunks) with
+    the loop carry persisted in VMEM scratch across time chunks; student
+    weights are an SMEM operand so repeated calls with updated weights reuse
+    one compiled kernel.
+    """
+    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
+    assert config.observation.action_history_length == 1
+    assert config.observation.angular_velocity_delay == 0
+    H, O = _policy_sizes(student_params)
+    wflat = flatten_policy(student_params)
+    runner = _make_runner(H, O, n_steps, config, chunk, block_rows)
+    return lambda params, state0, seed: runner(wflat, params, state0, seed)
