@@ -1,0 +1,57 @@
+"""CLI: export a policy checkpoint (.h5) as a compiled-in C/C++ header —
+the reference's firmware deployment path (README:226-231, SURVEY §3.6).
+
+Two formats:
+  --format raptor   (default) dependency-free C99 header with embedded
+                    golden-I/O self-test (checkpoint/code_export.py)
+  --format rltools  upstream `rl_tools::checkpoint` namespace header,
+                    compilable into unmodified rl-tools firmware
+                    (checkpoint/rltools_export.py; ckpt.h:34-220 format)
+
+    python -m raptor_tpu.apps.export_policy student.h5 policy.h --format rltools
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from raptor_tpu.checkpoint import code_export, h5, rltools_export
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint", help=".h5 policy checkpoint")
+    p.add_argument("out", help="output header path")
+    p.add_argument("--format", choices=("raptor", "rltools"),
+                   default="raptor")
+    p.add_argument("--name", default=None,
+                   help="meta name embedded in the header")
+    args = p.parse_args(argv)
+
+    params = h5.load_actor(args.checkpoint)
+    ei, eo = h5.load_example_io(args.checkpoint)
+    name = args.name or args.checkpoint
+    if args.format == "rltools":
+        rltools_export.export_rltools_header(args.out, params, ei, eo,
+                                             name=name)
+        # self-verify: re-import must be bit-exact and reproduce golden I/O
+        import jax.numpy as jnp
+        import numpy as np
+
+        from raptor_tpu.policy import network
+
+        got, gi, go = rltools_export.import_rltools_header(args.out)
+        jp = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+              for k, v in got.items()}
+        _, out = network.apply_sequence(jp, jnp.asarray(gi))
+        err = float(jnp.max(jnp.abs(out - jnp.asarray(go))))
+        assert np.array_equal(gi, np.asarray(ei, np.float32))
+        print(f"{args.out}  format=rltools  self-test max-err: {err:.2e}")
+        assert err < 1e-4
+    else:
+        code_export.export_header_file(args.out, params, ei, eo)
+        print(f"{args.out}  format=raptor")
+
+
+if __name__ == "__main__":
+    main()
