@@ -32,12 +32,21 @@ timeout 1800 python -m raptor_tpu.apps.bench_collect "$WAVE1" \
   --envs-per-teacher 8 --out artifacts/bench_collect_r02.json \
   > /tmp/bench_collect.log 2>&1
 BENCH_RC=$?
+# gate: rc==0 (includes the compiled-kernel parity spot-check, which exits 2
+# on mismatch) AND measured speedup >= 1 over the XLA collect
 FUSED=""
-if [ "$BENCH_RC" -eq 0 ]; then
+if [ "$BENCH_RC" -eq 0 ] && python3 - << 'EOF'
+import json, sys
+r = json.load(open("artifacts/bench_collect_r02.json"))
+ok = r.get("parity_ok") and r.get("speedup", 0) >= 1.0
+print(f"parity_err={r.get('parity_max_err')} speedup={r.get('speedup'):.1f}")
+sys.exit(0 if ok else 1)
+EOF
+then
   FUSED="--fused-collect"
-  echo "bench_collect ok -> fused collect enabled"
+  echo "bench_collect parity+speedup ok -> fused collect enabled"
 else
-  echo "bench_collect rc=$BENCH_RC -> XLA collect fallback"
+  echo "bench_collect rc=$BENCH_RC or gate failed -> XLA collect fallback"
 fi
 sleep 10
 

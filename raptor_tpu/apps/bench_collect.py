@@ -25,7 +25,8 @@ def _sync(x) -> float:
 def _time_marginal(fn, n_lo=1, n_hi=3):
     """Run fn() n_lo times (sync), then n_hi times (sync); return marginal
     seconds per call."""
-    fn()  # warm (compile)
+    out = fn()  # warm (compile)
+    _sync(out[0] if isinstance(out, tuple) else out)  # drain the warm-up
     t0 = time.perf_counter()
     for _ in range(n_lo):
         out = fn()
@@ -89,7 +90,53 @@ def main(argv=None):
     fused_s = _time_marginal(fused)
     fused_rate = n_env_steps / fused_s
 
+    # compiled-kernel parity spot-check (the pytest suite runs the kernel in
+    # interpret mode only — this is the real-TPU check): gentle init + wide
+    # bounds -> no resets, so fused and XLA trajectories from the same
+    # initial states must coincide
+    from raptor_tpu.env.types import InitConfig, TerminationConfig
+    from raptor_tpu.ops.pallas_collect import make_fused_collect
+
+    pc_cfg = EnvConfig(
+        init=InitConfig(max_angle=0.2, linear_velocity_std=0.02,
+                        angular_velocity_std=0.02),
+        termination=TerminationConfig(position_bound=50.0,
+                                      angular_velocity_bound=1000.0),
+    )
+    pc_env = L2F(pc_cfg)
+    n_pc = 1024
+    pc_params = jax.tree.map(
+        lambda x: jnp.repeat(x[: max(1, K // 8)],
+                             n_pc // max(1, K // 8), axis=0)[:n_pc],
+        airframes,
+    )
+    es, obs0 = jax.jit(jax.vmap(pc_env.reset, in_axes=(0, 0)))(
+        jax.random.split(jax.random.key(9), n_pc), pc_params
+    )
+    T_pc = 100
+    obs_f, reset_f = make_fused_collect(student, T_pc, pc_cfg)(
+        pc_params, es.dynamics, 3
+    )
+    _, v_step = pc_env.vector_ops()
+    h0 = student_net.initial_hidden(student, n_pc)
+
+    def body(carry, _):
+        es, obs, h = carry
+        h2, a = student_net.apply_step(student, h, obs[..., :22])
+        es2, obs2, _, done, _ = v_step(pc_params, es, jnp.clip(a, -1, 1))
+        return (es2, obs2, h2), obs[..., :22]
+
+    _, obs_x = jax.jit(
+        lambda es, obs0, h0: jax.lax.scan(body, (es, obs0, h0), None,
+                                          length=T_pc)
+    )(es, obs0, h0)
+    parity_err = float(jnp.max(jnp.abs(obs_f - obs_x)))
+    parity_resets = float(jnp.sum(reset_f))
+
     report = {
+        "parity_max_err": parity_err,
+        "parity_resets": parity_resets,
+        "parity_ok": bool(parity_err < 1e-3 and parity_resets == 0.0),
         "teachers": K,
         "envs_per_teacher": M,
         "rollout_length": T,
@@ -104,6 +151,8 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
+    if not report["parity_ok"]:
+        raise SystemExit(2)  # callers gate --fused-collect on this
     return report
 
 

@@ -14,6 +14,7 @@ import argparse
 import glob
 import json
 import os
+import sys
 import tarfile
 
 from raptor_tpu.utils import tfevents
@@ -77,6 +78,12 @@ def matched_curves(ours: dict, ref: dict, tags=None) -> dict:
         o_vals = np.asarray([v for _, v in o])
         r_steps = np.asarray([s for s, _ in r], dtype=np.float64)
         r_vals = np.asarray([v for _, v in r])
+        # only the overlap is a matched comparison — np.interp would clamp
+        # (silently extrapolate) beyond the reference curve's last step
+        in_range = o_steps <= r_steps[-1]
+        if not np.any(in_range):
+            continue
+        o_steps, o_vals = o_steps[in_range], o_vals[in_range]
         r_interp = np.interp(o_steps, r_steps, r_vals)
         stride = max(1, len(o_steps) // 16)
         out[tag] = [
@@ -127,6 +134,9 @@ def write_report(path: str, report: dict) -> None:
                   "", "| env-steps | ours | reference |", "|---|---|---|"]
         lines += [f"| {r['env_steps']:,} | {r['ours']} | {r['reference']} |"
                   for r in rows]
+    lines += ["", "Rows beyond the reference log's final env-step are omitted "
+              "(no silent extrapolation); final stats above compare each "
+              "run's own end point."]
     lines += ["", "Eval-parity protocol: InitConfig(max_angle=1.0) — measured "
               "to reproduce the reference policy's own logged eval envelope "
               "(apps/eval_parity.py; docs/EVAL_PARITY.md).", ""]
@@ -166,7 +176,7 @@ def main(argv=None):
     print(json.dumps(report, indent=2))
     if args.out:
         write_report(args.out, report)
-        print(f"report -> {args.out}")
+        print(f"report -> {args.out}", file=sys.stderr)
     return report
 
 

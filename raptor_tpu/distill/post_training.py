@@ -22,6 +22,7 @@ auto-resets, and the same reset masks drive hidden re-injection during BPTT.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -159,14 +160,22 @@ def make_relabel(env: L2F):
     return jax.jit(relabel)
 
 
+@functools.lru_cache(maxsize=4)
+def _v_sample_state(env: L2F):
+    """Per-env cached jitted vmapped initial-state sampler (a fresh jit per
+    round would re-trace/lower every fused round)."""
+    return jax.jit(jax.vmap(env.sample_state, in_axes=(0, 0)))
+
+
 def fused_collect_round(
     student_params, teacher_actors, env_params, key, env: L2F,
-    cfg: DistillConfig, relabel_fn, seed: int,
+    cfg: DistillConfig, relabel_fn, seed=None,
 ) -> RoundData:
     """One beta==0 collect round through the fused Pallas kernel + the
-    batched relabel pass.  Initial states come from the same XLA v_reset as
-    the XLA path (so the t=0 distribution matches exactly); only mid-rollout
-    auto-resets use the in-kernel PRNG."""
+    batched relabel pass.  Initial states come from the same XLA sampler as
+    the XLA path (so the t=0 distribution matches exactly); mid-rollout
+    auto-resets use the in-kernel PRNG, seeded from this round's key (so
+    different master seeds give different reset streams)."""
     from raptor_tpu.ops.pallas_collect import make_fused_collect
 
     k_shape = jax.tree.leaves(env_params)[0].shape
@@ -174,8 +183,14 @@ def fused_collect_round(
     flat_params = jax.tree.map(
         lambda x: x.reshape((K * M,) + x.shape[2:]), env_params
     )
-    v_sample = jax.jit(jax.vmap(env.sample_state, in_axes=(0, 0)))
-    state0 = v_sample(jax.random.split(key, K * M), flat_params)
+    k_init, k_kernel = jax.random.split(key)
+    state0 = _v_sample_state(env)(
+        jax.random.split(k_init, K * M), flat_params
+    )
+    if seed is None:
+        seed = jax.random.randint(
+            k_kernel, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
     run = make_fused_collect(student_params, cfg.rollout_length, env.config)
     obs, reset = run(flat_params, state0, seed)
     labels = relabel_fn(teacher_actors, flat_params, obs)
@@ -362,7 +377,7 @@ def distill(
         if cfg.fused_collect and beta == 0.0:
             data = fused_collect_round(
                 student, teacher_actors, env_params, k_collect, env, cfg,
-                relabel_fn, seed=r,
+                relabel_fn,
             )
         else:
             data = collect(student, teacher_actors, env_params, k_collect, beta)

@@ -237,7 +237,8 @@ def _sample_state_tiles(P, ctr, init):
 
 def _collect_kernel(
     seed_ref, w_ref, params_ref, state_ref, out_ref, carry_ref, *,
-    H, O, off, chunk, dt, episode_length, pos_bound, angvel_bound, init, br,
+    H, O, off, chunk, dt, episode_length, pos_bound, linvel_bound,
+    angvel_bound, init, br,
 ):
     i, t = pl.program_id(0), pl.program_id(1)
     P = [params_ref[c] for c in range(N_PARAM)]
@@ -299,20 +300,24 @@ def _collect_kernel(
         ) + rpm
 
         angvel_sq = s2[10] * s2[10] + s2[11] * s2[11] + s2[12] * s2[12]
+        linvel_sq = s2[7] * s2[7] + s2[8] * s2[8] + s2[9] * s2[9]
         nonfinite = (s2[0] != s2[0]) | (s2[1] != s2[1]) | (s2[2] != s2[2])
         terminated = (
             (jnp.abs(s2[0]) > pos_bound)
             | (jnp.abs(s2[1]) > pos_bound)
             | (jnp.abs(s2[2]) > pos_bound)
+            | (linvel_sq > linvel_bound * linvel_bound)
             | (angvel_sq > angvel_bound * angvel_bound)
             | nonfinite
         )
         t2 = tcount + 1.0
         truncated = t2 > (episode_length - 0.5)
-        done = (terminated | truncated).astype(s2[0].dtype)
-        out_ref[OBS_CH, pl.ds(k, 1)] = done[None]
+        done_b = terminated | truncated
+        out_ref[OBS_CH, pl.ds(k, 1)] = done_b.astype(s2[0].dtype)[None]
 
-        # fresh sample where done (auto-reset, mirror of L2F.step)
+        # fresh sample where done (auto-reset, mirror of L2F.step); boolean
+        # select (NOT arithmetic masking) so a non-finite terminated state is
+        # actually replaced — NaN * 0.0 is NaN and would otherwise stick
         s_abs = t * chunk + k
         ctr = _lowbias32(
             env_id
@@ -320,14 +325,15 @@ def _collect_kernel(
             ^ (s_abs.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
         ) * jnp.uint32(31)
         fresh = _sample_state_tiles(P, ctr, init)
-        keep = 1.0 - done
-        s3 = tuple(f * done + a * keep for f, a in zip(fresh, s2))
+        s3 = tuple(jnp.where(done_b, f, a) for f, a in zip(fresh, s2))
+        # tcount is always finite; s2 may be NaN (NaN * 0 = NaN)
+        fin_zero = tcount * 0.0
         h3 = tuple(
-            (s2[0] * 0.0 + w_ref[0, off["h0"] + c]) * done + h_new[c] * keep
+            jnp.where(done_b, fin_zero + w_ref[0, off["h0"] + c], h_new[c])
             for c in range(H)
         )
-        prev3 = tuple(a * keep for a in action)
-        t3 = t2 * keep
+        prev3 = tuple(jnp.where(done_b, 0.0, a) for a in action)
+        t3 = jnp.where(done_b, 0.0, t2)
         return (s3, h3, prev3, t3)
 
     s, h, prev, tcount = jax.lax.fori_loop(
@@ -377,6 +383,7 @@ def _make_runner(
             dt=config.dt,
             episode_length=float(config.episode_length),
             pos_bound=config.termination.position_bound,
+            linvel_bound=config.termination.linear_velocity_bound,
             angvel_bound=config.termination.angular_velocity_bound,
             init=init,
             br=br,
