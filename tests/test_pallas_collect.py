@@ -204,3 +204,36 @@ def test_fused_collect_round_shapes():
     assert data.reset.shape == (10, K * M)
     assert bool(jnp.all(jnp.isfinite(data.obs)))
     assert bool(jnp.all(jnp.abs(data.teacher_action) <= 1.0))
+
+
+def test_fused_collect_shards_over_env_axis():
+    """The collect kernel runs under shard_map on an env-sharded mesh with
+    per-device blocks (multi-chip pipeline path); with no resets the result
+    must equal the unsharded run exactly (the kernel is embarrassingly
+    parallel over env rows)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cfg = EnvConfig(
+        init=InitConfig(max_angle=0.2, linear_velocity_std=0.02,
+                        angular_velocity_std=0.02),
+        termination=TerminationConfig(position_bound=50.0,
+                                      angular_velocity_bound=1000.0),
+        episode_length=500,
+    )
+    env = L2F(cfg)
+    n = 2048  # 2 devices x 1024 rows
+    params, es, obs0, student = _setup(env, n=n)
+    run = make_fused_collect(student, 8, cfg, chunk=4)
+    obs_ref, reset_ref = run(params, es.dynamics, 3)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("env",))
+    sharded = jax.experimental.shard_map.shard_map(
+        lambda p, s: run(p, s, 3), mesh=mesh,
+        in_specs=(P("env"), P("env")),
+        out_specs=(P(None, "env"), P(None, "env")),
+        check_rep=False,
+    )
+    obs_s, reset_s = sharded(params, es.dynamics)
+    assert float(jnp.sum(reset_ref)) == 0.0
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_ref),
+                               atol=1e-6)
