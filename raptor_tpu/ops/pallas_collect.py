@@ -174,10 +174,12 @@ def _lowbias32(x):
 def _uniform(ctr, draw_id):
     """U(0, 1) tile from a per-env counter tile and a static draw id."""
     bits = _lowbias32(ctr + jnp.uint32(0x9E3779B9) * jnp.uint32(draw_id))
-    # 24 mantissa-exact bits; offset keeps log() finite
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)) + (
-        0.5 / (1 << 24)
-    )
+    # 24 mantissa-exact bits; offset keeps log() finite. Mosaic has no
+    # uint32->float32 lowering, so route through int32 (top 8 bits are
+    # shifted off, so the value fits exactly and stays non-negative).
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    ) + (0.5 / (1 << 24))
 
 
 def _normal_pair(ctr, draw_id):
