@@ -19,6 +19,7 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _EXECUTOR_CPP = os.path.join(_REPO_ROOT, "native", "executor.cpp")
+_FIRMWARE_DIR = os.path.join(_REPO_ROOT, "native", "firmware")
 _BUILD_DIR = os.path.join(_REPO_ROOT, ".cache", "native")
 
 
@@ -38,6 +39,91 @@ def build_executor(policy_header_path: str, out_path: Optional[str] = None) -> s
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return so_path
+
+
+def build_firmware(policy_header_path: str, out_path: Optional[str] = None) -> str:
+    """Compile the firmware control task (C99, `native/firmware/`) together
+    with the inference executor against a generated policy header.
+
+    This is the full firmware artifact chain of the reference's
+    `embedded_platforms/` integrations (README:107-167): policy blob header
+    + inference executor + firmware-side control task (obs assembly, mixer
+    de-normalization, boot self-test, failsafe), built host-side so the
+    software-in-the-loop test can fly it against the simulator."""
+    with open(policy_header_path, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so_path = out_path or os.path.join(_BUILD_DIR, f"libraptor_firmware_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    task_c = os.path.join(_FIRMWARE_DIR, "raptor_control_task.c")
+    obj_task = so_path + ".task.o"
+    obj_exec = so_path + ".exec.o"
+    # the control task is firmware-grade C99 (-Os, static allocation only);
+    # the executor is C++17 carrying the policy blob
+    subprocess.run(
+        ["gcc", "-Os", "-std=c99", "-fPIC", "-I", _FIRMWARE_DIR,
+         "-c", task_c, "-o", obj_task],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-fPIC", "-include", policy_header_path,
+         "-c", _EXECUTOR_CPP, "-o", obj_exec],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["g++", "-shared", obj_task, obj_exec, "-o", so_path],
+        check=True, capture_output=True,
+    )
+    for obj in (obj_task, obj_exec):
+        os.remove(obj)
+    return so_path
+
+
+class Firmware:
+    """ctypes wrapper over the compiled firmware control task (SITL side)."""
+
+    OK, SELF_TEST_FAILED, NOT_BOOTED, FAILSAFE = 0, 1, 2, 3
+
+    def __init__(self, so_path: str, skip_self_test: bool = False):
+        self.lib = ctypes.CDLL(so_path)
+        self.lib.raptor_fw_boot.argtypes = [ctypes.c_int]
+        self.lib.raptor_fw_boot.restype = ctypes.c_int
+        self.lib.raptor_fw_step.argtypes = [
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        self.lib.raptor_fw_step.restype = ctypes.c_int
+        self.lib.raptor_fw_last_inference_status.restype = ctypes.c_int
+        self.boot_status = self.lib.raptor_fw_boot(1 if skip_self_test else 0)
+
+    def step(
+        self,
+        time_us: int,
+        position: np.ndarray,
+        orientation_wxyz: np.ndarray,
+        linear_velocity: np.ndarray,
+        angular_velocity: np.ndarray,
+    ) -> tuple[np.ndarray, int]:
+        """One control-loop call; returns ([4] throttle in [0,1], status)."""
+        est = np.concatenate(
+            [position, orientation_wxyz, linear_velocity, angular_velocity]
+        ).astype(np.float32)
+        throttle = np.zeros(4, np.float32)
+        status = self.lib.raptor_fw_step(
+            int(time_us),
+            est.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            throttle.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return throttle, status
+
+    def reset(self):
+        self.lib.raptor_fw_reset()
+
+    @property
+    def last_inference_status(self) -> int:
+        return int(self.lib.raptor_fw_last_inference_status())
 
 
 class NativeExecutor:
