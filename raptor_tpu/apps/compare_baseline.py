@@ -48,7 +48,13 @@ def summarize(scalars: dict, label: str) -> dict:
     if "evaluation/share_terminated" in scalars:
         out["final_share_terminated"] = scalars["evaluation/share_terminated"][-1][1]
     if "loss" in scalars:
-        out["n_gradient_steps"] = len(scalars["loss"])
+        if "gradient_steps" in scalars:
+            # our post_training decimates the loss series but logs the true
+            # counter as its own tag; the reference writes one loss event
+            # per gradient step, so its event count IS the counter
+            out["n_gradient_steps"] = int(scalars["gradient_steps"][-1][1])
+        else:
+            out["n_gradient_steps"] = len(scalars["loss"])
         out["final_loss"] = scalars["loss"][-1][1]
     if "crazyflie/return/mean" in scalars:
         out["crazyflie_final_return"] = scalars["crazyflie/return/mean"][-1][1]

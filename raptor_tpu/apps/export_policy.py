@@ -28,29 +28,45 @@ def main(argv=None):
                    help="meta name embedded in the header")
     args = p.parse_args(argv)
 
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raptor_tpu.policy import network
+
     params = h5.load_actor(args.checkpoint)
     ei, eo = h5.load_example_io(args.checkpoint)
     name = args.name or args.checkpoint
+    # Recompute the golden outputs with THIS platform's f32 path before
+    # embedding: a checkpoint saved on TPU carries TPU-flavored outputs that
+    # drift ~3e-4 when replayed over 500 recurrent steps on CPU/firmware
+    # f32 (measured on the 640-teacher student), which would trip the
+    # embedded boot self-test (native/executor.cpp, tolerance 1e-4). The
+    # checkpoint-vs-local drift stays an informational cross-platform check.
+    _, eo_local = network.apply_sequence(params, jnp.asarray(ei))
+    eo_local = np.asarray(eo_local, np.float32)
+    drift = float(np.max(np.abs(eo_local - np.asarray(eo, np.float32))))
+    if drift > 1e-3:
+        print(f"WARNING: checkpoint golden-I/O drift {drift:.2e} vs local "
+              "replay — checkpoint may be corrupt", file=sys.stderr)
+        raise SystemExit(2)
     if args.format == "rltools":
-        rltools_export.export_rltools_header(args.out, params, ei, eo,
+        rltools_export.export_rltools_header(args.out, params, ei, eo_local,
                                              name=name)
         # self-verify: re-import must be bit-exact and reproduce golden I/O
-        import jax.numpy as jnp
-        import numpy as np
-
-        from raptor_tpu.policy import network
-
         got, gi, go = rltools_export.import_rltools_header(args.out)
         jp = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
               for k, v in got.items()}
         _, out = network.apply_sequence(jp, jnp.asarray(gi))
         err = float(jnp.max(jnp.abs(out - jnp.asarray(go))))
         assert np.array_equal(gi, np.asarray(ei, np.float32))
-        print(f"{args.out}  format=rltools  self-test max-err: {err:.2e}")
-        assert err < 1e-4
+        print(f"{args.out}  format=rltools  self-test max-err: {err:.2e}  "
+              f"cross-platform drift: {drift:.2e}")
+        assert err < 1e-5
     else:
-        code_export.export_header_file(args.out, params, ei, eo)
-        print(f"{args.out}  format=raptor")
+        code_export.export_header_file(args.out, params, ei, eo_local)
+        print(f"{args.out}  format=raptor  cross-platform drift: {drift:.2e}")
 
 
 if __name__ == "__main__":

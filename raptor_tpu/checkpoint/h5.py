@@ -176,15 +176,17 @@ def load_mlp_actor(path: str) -> Dict[str, Any]:
     return {"layers": layers}
 
 
-def verify_checkpoint(path: str, atol: float = 1e-4) -> float:
+def verify_checkpoint(path: str, atol: float = 1e-3) -> float:
     """Self-verify a checkpoint against its embedded golden I/O.
 
     Returns the max abs error; raises AssertionError above `atol`. This is
     the loader-side mirror of the reference's compiled-in self-test
     (reference README:136-137,155). Default tolerance admits cross-platform
-    f32 drift (TPU-written golden I/O replayed on CPU measures ~2e-5 over a
-    500-step GRU unroll; wrong gate-order/semantics variants fail by >=0.8).
-    """
+    f32 drift: TPU-written golden I/O (highest matmul precision) replayed on
+    CPU measures 2.75e-4 over the 500-step recurrent unroll (the 640-teacher
+    student artifact); wrong gate-order/semantics variants fail by >=0.8, so
+    1e-3 keeps full discrimination. Same-platform replay stays <=1e-6 —
+    pass an explicit atol to pin that."""
     import jax
 
     params = load_actor(path)

@@ -395,6 +395,10 @@ def distill(
                 for j in range(0, len(losses), stride):
                     log_fn("loss", float(losses[j]), grad_step + j)
             grad_step += len(losses)
+            if log_fn is not None:
+                # true optimizer-step counter (the loss series above is
+                # decimated; compare_baseline prefers this tag)
+                log_fn("gradient_steps", float(grad_step), env_steps)
             loss_history.append(float(losses[-1]))
         else:
             for e in range(cfg.epochs_per_round):
