@@ -10,6 +10,17 @@ cd /root/repo
 while [ ! -f /tmp/night_done ]; do sleep 60; done
 sleep 15
 
+# fixed-methodology fused-collect benchmark at a dispatch-amortizing
+# workload (union640: 2.56M env-steps/call): single-closed-loop-step parity
+# gate + marginal timing with n_lo=2/n_hi=8
+echo "=== bench_collect v2 (union640) $(date) ==="
+timeout 2700 python -m raptor_tpu.apps.bench_collect \
+  experiments/union640_checkpoints.txt \
+  --envs-per-teacher 8 --out artifacts/bench_collect_r02.json \
+  > /tmp/bench_collect3.log 2>&1
+echo "bench_collect v2 rc=$?"
+sleep 10
+
 for SEED in 500 600 700; do
   echo "=== wave seed $SEED start $(date) ==="
   timeout 7200 python -m raptor_tpu.apps.pre_training \
