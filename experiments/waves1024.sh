@@ -64,11 +64,19 @@ timeout 14400 python -m raptor_tpu.apps.post_training "$UNION" \
   --teacher-mix-rounds 40 --eval-max-angle 1.0 --eval-every-rounds 5 \
   $FUSED --seed 0 \
   > /tmp/distill1024.log 2>&1
-echo "=== 1024-teacher distillation done $(date) rc=$? ==="
+DISTILL_RC=$?
+echo "=== 1024-teacher distillation done $(date) rc=$DISTILL_RC ==="
 sleep 10
 
-RUN=$(ls -d experiments/*/*_post_training | sort | tail -1)
-STUDENT="$RUN/checkpoints/final.h5"
+# take the student path from THIS run's own output (a newest-dir glob would
+# silently pick the previous 640-teacher run if this one failed)
+STUDENT=$(grep -o "experiments/[^ ]*final\.h5" /tmp/distill1024.log | tail -1)
+if [ "$DISTILL_RC" -ne 0 ] || [ -z "$STUDENT" ] || [ ! -f "$STUDENT" ]; then
+  echo "1024-teacher distillation FAILED (rc=$DISTILL_RC student='$STUDENT') — skipping artifact publication"
+  touch /tmp/waves1024_done
+  exit 1
+fi
+RUN=$(dirname "$(dirname "$STUDENT")")
 echo "student: $STUDENT"
 timeout 5400 python -m raptor_tpu.apps.eval_parity \
   --checkpoint "$STUDENT" --out artifacts/eval_parity_1024.json \

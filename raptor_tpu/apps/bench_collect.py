@@ -140,12 +140,14 @@ def main(argv=None):
     # one closed-loop step -> the gated single-step parity
     step1_err = float(jnp.max(jnp.abs(obs_f[1] - obs_x[1])))
     drift_err = float(jnp.max(jnp.abs(obs_f - obs_x)))
-    parity_resets = float(jnp.sum(reset_f))
+    # only a reset in the first two rows could contaminate the gated step-1
+    # comparison; later chaotic-trajectory resets are expected and harmless
+    parity_resets = float(jnp.sum(reset_f[:2]))
 
     report = {
         "parity_step1_err": step1_err,
         "trajectory_drift_100steps": drift_err,
-        "parity_resets": parity_resets,
+        "parity_resets_first2": parity_resets,
         "parity_ok": bool(step1_err < 1e-4 and parity_resets == 0.0),
         "teachers": K,
         "envs_per_teacher": M,

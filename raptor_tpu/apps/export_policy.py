@@ -38,13 +38,25 @@ def main(argv=None):
     params = h5.load_actor(args.checkpoint)
     ei, eo = h5.load_example_io(args.checkpoint)
     name = args.name or args.checkpoint
-    # Recompute the golden outputs with THIS platform's f32 path before
-    # embedding: a checkpoint saved on TPU carries TPU-flavored outputs that
-    # drift ~3e-4 when replayed over 500 recurrent steps on CPU/firmware
-    # f32 (measured on the 640-teacher student), which would trip the
-    # embedded boot self-test (native/executor.cpp, tolerance 1e-4). The
-    # checkpoint-vs-local drift stays an informational cross-platform check.
-    _, eo_local = network.apply_sequence(params, jnp.asarray(ei))
+    # Recompute the golden outputs with the deployment-side (CPU f32,
+    # highest matmul precision) path before embedding: a checkpoint saved
+    # on TPU carries TPU-flavored outputs that drift ~3e-4 when replayed
+    # over 500 recurrent steps on CPU/firmware f32 (measured on the
+    # 640-teacher student), which would trip the embedded boot self-test
+    # (native/executor.cpp, tolerance 1e-4). The checkpoint-vs-local drift
+    # stays an informational cross-platform check.
+    import contextlib
+
+    import jax
+
+    def replay_ctx():
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            return contextlib.nullcontext()
+
+    with replay_ctx(), jax.default_matmul_precision("highest"):
+        _, eo_local = network.apply_sequence(params, jnp.asarray(ei))
     eo_local = np.asarray(eo_local, np.float32)
     drift = float(np.max(np.abs(eo_local - np.asarray(eo, np.float32))))
     if drift > 1e-3:
@@ -58,7 +70,8 @@ def main(argv=None):
         got, gi, go = rltools_export.import_rltools_header(args.out)
         jp = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
               for k, v in got.items()}
-        _, out = network.apply_sequence(jp, jnp.asarray(gi))
+        with replay_ctx(), jax.default_matmul_precision("highest"):
+            _, out = network.apply_sequence(jp, jnp.asarray(gi))
         err = float(jnp.max(jnp.abs(out - jnp.asarray(go))))
         assert np.array_equal(gi, np.asarray(ei, np.float32))
         print(f"{args.out}  format=rltools  self-test max-err: {err:.2e}  "

@@ -28,18 +28,29 @@ import json
 import numpy as np
 
 
-def _metrics(log, pos_setpoint, bounds) -> dict:
+def _metrics(log, pos_setpoint, env, params) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from raptor_tpu.env.types import State
+
     pos_err = log.position - np.asarray(pos_setpoint, np.float32)
     tilt = np.arccos(
         np.clip(1.0 - 2.0 * (log.orientation[:, 1] ** 2 + log.orientation[:, 2] ** 2),
                 -1.0, 1.0)
     )
+    # crash detection IS the simulator's termination predicate (position /
+    # linear-velocity / angular-velocity bounds + non-finite states), vmapped
+    # over the log rows — one source of truth, env/quad.py terminated()
+    states = State(
+        position=jnp.asarray(log.position),
+        orientation=jnp.asarray(log.orientation),
+        linear_velocity=jnp.asarray(log.linear_velocity),
+        angular_velocity=jnp.asarray(log.angular_velocity),
+        rpm=jnp.zeros((len(log.t_us), 4)),  # unobservable; unused by terminated
+    )
     crashed = bool(
-        np.any(np.abs(log.position) > bounds.position_bound)
-        or np.any(
-            np.linalg.norm(log.angular_velocity, axis=1)
-            > bounds.angular_velocity_bound
-        )
+        jnp.any(jax.vmap(env.terminated, in_axes=(None, 0))(params, states))
     )
     out = {
         "duration_s": log.duration_s,
@@ -105,29 +116,51 @@ def main(argv=None):
 
             args.checkpoint = shipped_checkpoint_path()
         policy = ckpt_h5.load_actor(args.checkpoint)
-        es, obs = jax.jit(env.reset)(jax.random.key(args.seed), params)
+        es, _ = jax.jit(env.reset)(jax.random.key(args.seed), params)
         h = student_net.initial_hidden(policy, 1)
+        dt_us = int(round(env.config.dt * 1e6))
 
+        # manual closed loop (no auto-reset: a recorded flight must keep its
+        # terminal out-of-bounds state in the log so `analyze` sees the
+        # crash, and must never teleport through an episode truncation)
         @jax.jit
-        def step_fn(es, obs, h):
+        def step_fn(state, prev_a, h):
+            obs = env.observe(params, state, prev_a)
             h2, a = student_net.apply_step(policy, h[0], obs[:22])
             a = jnp.clip(a, -1.0, 1.0)
-            es2, obs2, _, done, info = env.step(params, es, a)
-            return es2, obs2, h2[None], a, info["terminated"]
+            s2, _ = env.dynamics_step(params, state, a)
+            return s2, a, h2[None], env.terminated(params, s2)
 
+        state = es.dynamics
+        prev_a = jnp.zeros(4, jnp.float32)
         rows = []
+        crashed_at = None
         for t in range(args.steps):
-            s = es.dynamics
-            es2, obs2, h, a, terminated = step_fn(es, obs, h)
+            s2, a, h, terminated = step_fn(state, prev_a, h)
             rows.append(
-                (t * 10_000, np.asarray(s.position), np.asarray(s.orientation),
-                 np.asarray(s.linear_velocity), np.asarray(s.angular_velocity),
-                 np.asarray(a))
+                (t * dt_us, np.asarray(state.position),
+                 np.asarray(state.orientation),
+                 np.asarray(state.linear_velocity),
+                 np.asarray(state.angular_velocity), np.asarray(a))
             )
+            state, prev_a = s2, a
             if bool(terminated):
-                print(f"terminated at step {t}")
+                crashed_at = t + 1
                 break
-            es, obs = es2, obs2
+        # terminal state row (the crash frame, or the final hover state);
+        # its action is the policy's command there — commanded, never
+        # integrated, exactly what a real flight log's last frame holds
+        obs_T = env.observe(params, state, prev_a)
+        _, a_T = student_net.apply_step(policy, h[0], obs_T[:22])
+        rows.append(
+            (len(rows) * dt_us, np.asarray(state.position),
+             np.asarray(state.orientation),
+             np.asarray(state.linear_velocity),
+             np.asarray(state.angular_velocity),
+             np.asarray(jnp.clip(a_T, -1.0, 1.0)))
+        )
+        if crashed_at is not None:
+            print(f"terminated at step {crashed_at}")
         log = flightlog.FlightLog(
             t_us=np.asarray([r[0] for r in rows], np.int64),
             position=np.stack([r[1] for r in rows]),
@@ -142,7 +175,7 @@ def main(argv=None):
 
     log = flightlog.read_csv(args.log)
     if args.mode == "analyze":
-        report = _metrics(log, args.setpoint, env.config.termination)
+        report = _metrics(log, args.setpoint, env, params)
     else:  # replay: sim-to-real gap from logged actions
         if log.action is None:
             raise SystemExit("replay requires action columns in the log")
@@ -169,11 +202,12 @@ def main(argv=None):
 
         _, sim_pos = roll(state, jnp.asarray(log.action[:-1]))
         div = np.linalg.norm(np.asarray(sim_pos) - log.position[1:], axis=1)
+        steps_1s = max(1, int(round(1.0 / env.config.dt)))
         report = {
             "n_steps": int(len(div)),
             "divergence_mean_m": float(np.mean(div)),
             "divergence_final_m": float(div[-1]),
-            "divergence_at_1s_m": float(div[min(99, len(div) - 1)]),
+            "divergence_at_1s_m": float(div[min(steps_1s - 1, len(div) - 1)]),
         }
     print(json.dumps(report, indent=2))
     if args.out:

@@ -23,11 +23,20 @@ _FIRMWARE_DIR = os.path.join(_REPO_ROOT, "native", "firmware")
 _BUILD_DIR = os.path.join(_REPO_ROOT, ".cache", "native")
 
 
+def _content_tag(*paths: str) -> str:
+    """Cache key over ALL compiled sources (a stale .so keyed only on the
+    policy header would silently ignore executor/firmware C edits)."""
+    h = hashlib.sha256()
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def build_executor(policy_header_path: str, out_path: Optional[str] = None) -> str:
     """Compile the executor against a generated policy header; returns the
     .so path (cached by content hash)."""
-    with open(policy_header_path, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    tag = _content_tag(policy_header_path, _EXECUTOR_CPP)
     os.makedirs(_BUILD_DIR, exist_ok=True)
     so_path = out_path or os.path.join(_BUILD_DIR, f"libraptor_executor_{tag}.so")
     if os.path.exists(so_path):
@@ -50,13 +59,13 @@ def build_firmware(policy_header_path: str, out_path: Optional[str] = None) -> s
     + inference executor + firmware-side control task (obs assembly, mixer
     de-normalization, boot self-test, failsafe), built host-side so the
     software-in-the-loop test can fly it against the simulator."""
-    with open(policy_header_path, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    task_c = os.path.join(_FIRMWARE_DIR, "raptor_control_task.c")
+    task_h = os.path.join(_FIRMWARE_DIR, "raptor_control_task.h")
+    tag = _content_tag(policy_header_path, _EXECUTOR_CPP, task_c, task_h)
     os.makedirs(_BUILD_DIR, exist_ok=True)
     so_path = out_path or os.path.join(_BUILD_DIR, f"libraptor_firmware_{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    task_c = os.path.join(_FIRMWARE_DIR, "raptor_control_task.c")
     obj_task = so_path + ".task.o"
     obj_exec = so_path + ".exec.o"
     # the control task is firmware-grade C99 (-Os, static allocation only);

@@ -20,8 +20,10 @@ def test_record_analyze_replay_roundtrip(tmp_path, capsys):
          "--steps", "120", "--seed", "1"]
     )
     log = flightlog.read_csv(str(log_path))
-    assert len(log.t_us) == 120
-    assert log.action is not None and log.action.shape == (120, 4)
+    # 120 integrated steps + the terminal state row (the frame `analyze`
+    # needs to see a crash, were there one)
+    assert len(log.t_us) == 121
+    assert log.action is not None and log.action.shape == (121, 4)
     # quaternions stay normalized through the CSV round-trip
     np.testing.assert_allclose(
         np.linalg.norm(log.orientation, axis=1), 1.0, atol=1e-4
@@ -36,7 +38,7 @@ def test_record_analyze_replay_roundtrip(tmp_path, capsys):
     assert not report["crashed"]
     assert report["position_rmse_m"] < 0.6
     assert abs(report["rate_hz"] - 100.0) < 1.0
-    assert report["n_samples"] == 120
+    assert report["n_samples"] == 121
 
     replay_path = tmp_path / "replay.json"
     flight_eval.main(
@@ -47,6 +49,29 @@ def test_record_analyze_replay_roundtrip(tmp_path, capsys):
     # diverge (this is the sim2real gap metric; here the "real" system IS
     # the sim, so the gap is numerical only)
     assert replay["divergence_final_m"] < 1e-2, replay
+
+
+def test_recorded_crash_is_detected(tmp_path):
+    """A flight that terminates mid-record must leave its out-of-bounds
+    terminal state in the log so analyze reports crashed=True (regression:
+    the recorder used to drop the crash frame)."""
+    import jax
+
+    from raptor_tpu.checkpoint import h5 as ckpt_h5
+    from raptor_tpu.policy import network as student_net
+
+    bad = tmp_path / "untrained.h5"
+    ckpt_h5.save_actor(str(bad), student_net.init_params(jax.random.key(7)))
+    log_path = tmp_path / "crash_flight.csv"
+    flight_eval.main(
+        ["record", str(log_path), "--checkpoint", str(bad),
+         "--steps", "400", "--seed", "2"]
+    )
+    log = flightlog.read_csv(str(log_path))
+    assert len(log.t_us) < 401  # an untrained policy cannot fly 4 s
+    report_path = tmp_path / "crash_analysis.json"
+    flight_eval.main(["analyze", str(log_path), "--out", str(report_path)])
+    assert json.loads(report_path.read_text())["crashed"]
 
 
 def test_analyze_detects_crash(tmp_path):
