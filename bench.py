@@ -41,7 +41,10 @@ EVAL_STEPS = 500  # reference episode length
 # (Pallas kernels ~seconds; big XLA env graphs can take >10 min, NOTES.md).
 SUBBENCHES = [
     ("fused_pallas_rollout", 900),
-    ("fused_policy_eval", 900),
+    # measured 2026-08-17: this sub's cold compile (16384-env reset + the
+    # jitted pack->kernel->unpack eval pipeline) ran past 900 s through the
+    # axon tunnel and degraded the metric to null — size for the worst case
+    ("fused_policy_eval", 2400),
     ("full_env_step_xla", 1500),
     ("train_env_steps_per_s", 1500),
 ]
