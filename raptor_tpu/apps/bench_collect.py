@@ -111,10 +111,10 @@ def main(argv=None):
     )
     pc_env = L2F(pc_cfg)
     n_pc = 1024
+    base = max(1, min(K, n_pc))
+    reps = -(-n_pc // base)  # ceil: exact n_pc rows for ANY teacher count
     pc_params = jax.tree.map(
-        lambda x: jnp.repeat(x[: max(1, K // 8)],
-                             n_pc // max(1, K // 8), axis=0)[:n_pc],
-        airframes,
+        lambda x: jnp.repeat(x[:base], reps, axis=0)[:n_pc], airframes
     )
     es, obs0 = jax.jit(jax.vmap(pc_env.reset, in_axes=(0, 0)))(
         jax.random.split(jax.random.key(9), n_pc), pc_params
