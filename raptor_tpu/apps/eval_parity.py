@@ -151,7 +151,8 @@ def main(argv=None):
     for row in report["sweep"]:
         ag = row["aggregate"]
         if ag["episode_length"] >= 480.0 and ag["share_terminated"] <= 0.055:
-            best = row["max_angle"]
+            if best is None or row["max_angle"] > best:
+                best = row["max_angle"]  # largest match, any sweep order
     report["eval_parity_max_angle"] = best
     print(f"\neval-parity max_angle (largest matching reference envelope): {best}")
     if args.out:

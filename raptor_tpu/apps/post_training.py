@@ -22,7 +22,7 @@ from raptor_tpu.checkpoint import h5 as ckpt_h5
 from raptor_tpu.distill import post_training
 from raptor_tpu.env import EnvConfig, L2F, presets
 from raptor_tpu.env.io import load_params_json
-from raptor_tpu.env.types import InitConfig
+from raptor_tpu.env.types import eval_parity_init
 from raptor_tpu.rl import evaluation
 from raptor_tpu.utils.extrack import Run
 
@@ -113,7 +113,12 @@ def main(argv=None):
     # the reference tfevents; fullinit/* keeps the harsher training-init
     # numbers for continuity with round-1 artifacts.
     if args.eval_max_angle > 0:
-        eval_env = L2F(EnvConfig(init=InitConfig(max_angle=args.eval_max_angle)))
+        # single source of truth: the canonical measured protocol config,
+        # with only the CLI-swept angle overridden (types.eval_parity_init)
+        import dataclasses as _dc
+
+        eval_env = L2F(EnvConfig(init=_dc.replace(
+            eval_parity_init(), max_angle=args.eval_max_angle)))
     else:
         eval_env = env
 

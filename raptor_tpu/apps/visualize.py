@@ -74,15 +74,16 @@ async def run(args):
         action = jnp.clip(action, -1.0, 1.0)
         state, _ = v_dstep(params, state, action, None)
         prev = action
+        will_print = client is None and t % args.print_every == 0
         msg = None
-        if rec is not None or client is None:
+        if rec is not None or will_print:  # device->host sync only when used
             msg = ui.state_action_message(ns, state, np.asarray(action))
         if rec is not None:
             rec.write(json.dumps(msg) + "\n")
         if client is not None:
             await client.render(state, np.asarray(action))
             await asyncio.sleep(args.dt)
-        elif t % args.print_every == 0:
+        elif will_print:
             print(json.dumps(msg["data"]["states"][0]))
     if rec is not None:
         rec.close()

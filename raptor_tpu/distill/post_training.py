@@ -183,6 +183,20 @@ def fused_collect_round(
     flat_params = jax.tree.map(
         lambda x: x.reshape((K * M,) + x.shape[2:]), env_params
     )
+    # the kernel integrates deterministic RK4: the per-step stochastic
+    # disturbance forces/torques of quad.dynamics_step are NOT modeled.
+    # Default randomization samples those stds at 0.0; reject anything else
+    # rather than silently collecting on mismatched dynamics.
+    dist = jnp.maximum(
+        jnp.max(flat_params.disturbance_force_std),
+        jnp.max(flat_params.disturbance_torque_std),
+    )
+    if float(dist) > 0.0:
+        raise ValueError(
+            "fused_collect is deterministic-dynamics only: airframes with "
+            "nonzero disturbance_{force,torque}_std must use the XLA "
+            "collect path (make_collect)"
+        )
     k_init, k_kernel = jax.random.split(key)
     state0 = _v_sample_state(env)(
         jax.random.split(k_init, K * M), flat_params
@@ -251,8 +265,15 @@ def make_aggregate_add(cfg: DistillConfig):
 
     def add(agg: Aggregate, data: RoundData, key: jax.Array) -> Aggregate:
         B = data.obs.shape[1]
+        assert B <= C, f"round batch {B} exceeds aggregate capacity {C}"
         seq = agg.size + jnp.arange(B, dtype=jnp.int32)
-        rand = jax.random.randint(key, (B,), 0, C, dtype=jnp.int32)
+        # replacement columns must be DISTINCT (duplicate scatter indices
+        # keep an arbitrary one, silently dropping new sequences) — use a
+        # permutation prefix, not randint-with-replacement. On the single
+        # size->C crossing round a replacement can still land on a column
+        # just written by the seq path (harmless: one fresh sequence
+        # overwrites another fresh one, once).
+        rand = jax.random.permutation(key, C)[:B].astype(jnp.int32)
         idx = jnp.where(seq < C, seq, rand)
         return Aggregate(
             obs=agg.obs.at[:, idx].set(data.obs.astype(jnp.bfloat16)),

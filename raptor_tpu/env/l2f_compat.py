@@ -196,7 +196,9 @@ def step(device: Device, env, params, state, action, next_state, rng):
     (shift, append newest)."""
     n = env.N_ENVIRONMENTS
     keys = jax.random.split(rng.split(), n)
-    a = jnp.asarray(action, jnp.float32)
+    # clip BEFORE integrating and recording, exactly like quad.step:267 —
+    # the history ring must hold the executed (clipped) action
+    a = jnp.clip(jnp.asarray(action, jnp.float32), -1.0, 1.0)
     nxt, dts = jax.vmap(env.impl.dynamics_step)(
         params.stacked, state.dynamics, a, keys
     )

@@ -28,6 +28,11 @@ zeroes.  Mid-rollout resets draw from a counter-based in-kernel hash PRNG
 mode on CPU, where pltpu.prng_* is unavailable), deterministic in
 (seed, env index, step).
 
+The kernel integrates DETERMINISTIC dynamics: the optional per-step
+stochastic disturbance forces/torques of `quad.dynamics_step` are not
+modeled.  `distill.post_training.fused_collect_round` rejects airframes
+with nonzero disturbance stds (the default randomization samples them 0).
+
 Parity vs the XLA path is pinned by tests/test_pallas_collect.py.
 """
 
@@ -246,10 +251,18 @@ def _collect_kernel(
     P = [params_ref[c] for c in range(N_PARAM)]
     rpm_min, rpm_max = P[39], P[40]
 
-    # unique per-env uint32 id tile (global row block offset + lane position)
+    # unique per-env uint32 id tile (global row block offset + lane position).
+    # env_offset globalizes the id under shard_map: program ids are
+    # SHARD-LOCAL, so without the offset every device would reproduce the
+    # same auto-reset randomization stream (shard k passes k * envs_per_shard)
+    env_offset = seed_ref[0, 1]
     sub = jax.lax.broadcasted_iota(jnp.uint32, (br, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.uint32, (br, LANES), 1)
-    env_id = (jnp.uint32(i) * jnp.uint32(br) + sub) * jnp.uint32(LANES) + lane
+    env_id = (
+        jnp.uint32(env_offset)
+        + (jnp.uint32(i) * jnp.uint32(br) + sub) * jnp.uint32(LANES)
+        + lane
+    )
 
     @pl.when(t == 0)
     def _():
@@ -369,7 +382,7 @@ def _make_runner(
     n_chunks = n_steps // chunk
 
     @jax.jit
-    def run(wflat, params: DynamicsParams, state0: State, seed):
+    def run(wflat, params: DynamicsParams, state0: State, seed, env_offset):
         n = state0.position.shape[0]
         pp = pack_params(params)
         sp = pack_state(state0)
@@ -395,7 +408,7 @@ def _make_runner(
             interpret=jax.default_backend() != "tpu",  # CPU fallback
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i, t: (0, 0),
+                pl.BlockSpec((1, 2), lambda i, t: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, off["_total"]), lambda i, t: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -414,7 +427,13 @@ def _make_runner(
             scratch_shapes=[
                 pltpu.VMEM((N_STATE + H + 4 + 1, br, LANES), jnp.float32)
             ],
-        )(jnp.asarray(seed, jnp.int32).reshape(1, 1), wflat, pp, sp)
+        )(
+            jnp.stack(
+                [jnp.asarray(seed, jnp.int32),
+                 jnp.asarray(env_offset, jnp.int32)]
+            ).reshape(1, 2),
+            wflat, pp, sp,
+        )
         flat = out.reshape(OUT_CH, n_steps, rows * LANES)[:, :, :n]
         obs = jnp.transpose(flat[:OBS_CH], (1, 2, 0))  # [T, N, 22]
         reset = flat[OBS_CH]  # [T, N]
@@ -432,12 +451,17 @@ def make_fused_collect(
 ):
     """Fused collect for one student checkpoint.
 
-    Returns fn(params [N], state0 [N], seed int32) ->
+    Returns fn(params [N], state0 [N], seed int32, env_offset int32 = 0) ->
     (obs [T, N, 22] f32, reset [T, N] f32).  The observation stream is
     pipelined to HBM by blocking the grid over (env rows, time chunks) with
     the loop carry persisted in VMEM scratch across time chunks; student
     weights are an SMEM operand so repeated calls with updated weights reuse
     one compiled kernel.
+
+    env_offset globalizes the in-kernel PRNG env ids under shard_map: pass
+    `jax.lax.axis_index(axis) * envs_per_shard` (shard sizes must be a
+    multiple of LANES=128) and the sharded run reproduces the unsharded
+    auto-reset stream exactly (tests/test_pallas_collect.py pins this).
     """
     assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
     assert config.observation.action_history_length == 1
@@ -445,4 +469,6 @@ def make_fused_collect(
     H, O = _policy_sizes(student_params)
     wflat = flatten_policy(student_params)
     runner = _make_runner(H, O, n_steps, config, chunk, block_rows)
-    return lambda params, state0, seed: runner(wflat, params, state0, seed)
+    return lambda params, state0, seed, env_offset=0: runner(
+        wflat, params, state0, seed, env_offset
+    )

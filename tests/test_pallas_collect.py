@@ -208,9 +208,10 @@ def test_fused_collect_round_shapes():
 
 def test_fused_collect_shards_over_env_axis():
     """The collect kernel runs under shard_map on an env-sharded mesh with
-    per-device blocks (multi-chip pipeline path); with no resets the result
-    must equal the unsharded run exactly (the kernel is embarrassingly
-    parallel over env rows)."""
+    per-device blocks (multi-chip pipeline path). episode_length=4 forces a
+    deterministic truncation reset for EVERY env mid-rollout, so this also
+    pins that env_offset globalizes the in-kernel PRNG ids: the sharded run
+    must reproduce the unsharded auto-reset stream exactly."""
     from jax.sharding import Mesh, PartitionSpec as P
 
     cfg = EnvConfig(
@@ -218,22 +219,31 @@ def test_fused_collect_shards_over_env_axis():
                         angular_velocity_std=0.02),
         termination=TerminationConfig(position_bound=50.0,
                                       angular_velocity_bound=1000.0),
-        episode_length=500,
+        episode_length=4,  # truncation reset at step 4 of 8, every env
     )
     env = L2F(cfg)
     n = 2048  # 2 devices x 1024 rows
     params, es, obs0, student = _setup(env, n=n)
     run = make_fused_collect(student, 8, cfg, chunk=4)
     obs_ref, reset_ref = run(params, es.dynamics, 3)
+    assert float(jnp.sum(reset_ref)) >= n  # resets DID occur
 
+    per_shard = n // 2
     mesh = Mesh(np.array(jax.devices()[:2]), ("env",))
     sharded = jax.experimental.shard_map.shard_map(
-        lambda p, s: run(p, s, 3), mesh=mesh,
+        lambda p, s: run(p, s, 3, jax.lax.axis_index("env") * per_shard),
+        mesh=mesh,
         in_specs=(P("env"), P("env")),
         out_specs=(P(None, "env"), P(None, "env")),
         check_rep=False,
     )
     obs_s, reset_s = sharded(params, es.dynamics)
-    assert float(jnp.sum(reset_ref)) == 0.0
+    # reset/termination pattern must match BITWISE (pins that env_offset
+    # reproduces the unsharded PRNG redraw stream exactly)
+    np.testing.assert_array_equal(np.asarray(reset_s), np.asarray(reset_ref))
+    # obs: the two runs compile DIFFERENT XLA programs (2048- vs 1024-wide
+    # shards), whose fusion choices can differ by 1 ulp; the chaotic
+    # dynamics amplify that to ~2e-6 within 4 post-reset steps (measured).
+    # 1e-4 still fails loudly on any wrong PRNG draw (state deltas are O(1)).
     np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_ref),
-                               atol=1e-6)
+                               atol=1e-4)
