@@ -24,4 +24,18 @@ reference anchors (README:N / ckpt.h:N) they mirror.
 
 __version__ = "0.1.0"
 
+# Honor RAPTOR_PLATFORM before ANY submodule import: flax.struct pytree
+# registration at import time can initialize the JAX backend, after which
+# utils.cache.enable_persistent_cache()'s platform override is silently
+# too late (observed: a CPU-intended probe running on the live TPU).
+import os as _os
+
+if _os.environ.get("RAPTOR_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["RAPTOR_PLATFORM"])
+    except Exception:
+        pass
+
 from raptor_tpu.policy.raptor import Raptor  # noqa: F401  (README:16-25 API mirror)

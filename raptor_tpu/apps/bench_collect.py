@@ -132,10 +132,17 @@ def main(argv=None):
         es2, obs2, _, done, _ = v_step(pc_params, es, jnp.clip(a, -1, 1))
         return (es2, obs2, h2), obs[..., :22]
 
-    _, obs_x = jax.jit(
-        lambda es, obs0, h0: jax.lax.scan(body, (es, obs0, h0), None,
-                                          length=T_pc)
-    )(es, obs0, h0)
+    # The reference must run at HIGHEST matmul precision: the kernel's GRU
+    # streams exact f32 scalar FMAs, while XLA's default TPU precision
+    # rounds matmul inputs to bf16 (~1e-3 relative) — at default precision
+    # the gate measures XLA's rounding, not the kernel's error (probe
+    # artifacts/collect_parity_probe.json attributed the old 4.3e-4 step-1
+    # "failure" to the prev_action/GRU channels).
+    with jax.default_matmul_precision("highest"):
+        _, obs_x = jax.jit(
+            lambda es, obs0, h0: jax.lax.scan(body, (es, obs0, h0), None,
+                                              length=T_pc)
+        )(es, obs0, h0)
     # row t is the pre-step obs of step t: row 1 is the state after exactly
     # one closed-loop step -> the gated single-step parity
     step1_err = float(jnp.max(jnp.abs(obs_f[1] - obs_x[1])))
