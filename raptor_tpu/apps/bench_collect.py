@@ -50,14 +50,32 @@ def main(argv=None):
     from raptor_tpu.policy import network as student_net
 
     p = argparse.ArgumentParser()
-    p.add_argument("manifest", help="teacher checkpoints.txt")
+    p.add_argument("manifest", nargs="?", default=None,
+                   help="teacher checkpoints.txt (omit with --synthetic)")
+    p.add_argument("--synthetic", type=int, default=0, metavar="K",
+                   help="benchmark with K randomly initialized teachers + "
+                        "sampled airframes instead of a checkpoint manifest "
+                        "(throughput/parity are weight-independent; lets the "
+                        "bench run when trained checkpoints are absent)")
     p.add_argument("--envs-per-teacher", type=int, default=8)
     p.add_argument("--rollout-length", type=int, default=500)
     p.add_argument("--out", default=None, help="JSON report path")
     args = p.parse_args(argv)
 
     env = L2F(EnvConfig())
-    teacher_actors, airframes = load_teachers(args.manifest)
+    if args.synthetic:
+        from raptor_tpu.distill.population import sample_teacher_airframes
+        from raptor_tpu.rl import networks
+
+        airframes = sample_teacher_airframes(jax.random.key(7),
+                                             args.synthetic)
+        teacher_actors = jax.vmap(
+            lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4)
+        )(jax.random.split(jax.random.key(8), args.synthetic))
+    elif args.manifest:
+        teacher_actors, airframes = load_teachers(args.manifest)
+    else:
+        p.error("provide a manifest or --synthetic K")
     K = jax.tree.leaves(airframes)[0].shape[0]
     M = args.envs_per_teacher
     T = args.rollout_length

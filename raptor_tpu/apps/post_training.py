@@ -28,6 +28,10 @@ from raptor_tpu.utils.extrack import Run
 
 
 def load_teachers(manifest_path: str):
+    if manifest_path.endswith(".npz"):  # committed teacher pack
+        from raptor_tpu.apps.pack_teachers import load_teacher_pack
+
+        return load_teacher_pack(manifest_path)
     with open(manifest_path) as f:
         paths = [line.strip() for line in f if line.strip()]
     actors = [ckpt_h5.load_mlp_actor(p) for p in paths]

@@ -1,0 +1,72 @@
+"""Teacher-pack round trip: a checkpoints.txt population packed to one .npz
+loads back identically through load_teachers (the pack is the committed,
+reimage-surviving form of the teacher dataset — the reference distributes
+its teachers as the foundation-policy-v1-data tarball)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.apps.pack_teachers import (
+    load_teacher_pack,
+    pack_info,
+    save_teacher_pack,
+)
+from raptor_tpu.apps.post_training import load_teachers
+from raptor_tpu.checkpoint import h5 as ckpt_h5
+from raptor_tpu.distill.population import sample_teacher_airframes
+from raptor_tpu.env import EnvConfig, L2F
+from raptor_tpu.env.io import save_params_json
+from raptor_tpu.rl import networks
+
+
+def _make_manifest(tmp_path, k=3):
+    env = L2F(EnvConfig())
+    airframes = sample_teacher_airframes(jax.random.key(0), k)
+    paths = []
+    for i in range(k):
+        actor = networks.actor_init(jax.random.key(10 + i),
+                                    env.OBSERVATION_DIM, 4)
+        p = os.path.join(tmp_path, f"teacher_{i}.h5")
+        ckpt_h5.save_mlp_actor(p, actor, meta={"teacher_index": i})
+        save_params_json(
+            p.replace(".h5", "_dynamics.json"),
+            jax.tree.map(lambda x: x[i], airframes),
+        )
+        paths.append(p)
+    manifest = os.path.join(tmp_path, "checkpoints.txt")
+    with open(manifest, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    return manifest
+
+
+def test_pack_roundtrip(tmp_path):
+    tmp = str(tmp_path)
+    manifest = _make_manifest(tmp, k=3)
+    actors_ref, frames_ref = load_teachers(manifest)
+
+    pack = os.path.join(tmp, "teachers.npz")
+    save_teacher_pack(pack, actors_ref, frames_ref, meta={"seed": 0})
+
+    # load_teachers dispatches on the .npz extension
+    actors, frames = load_teachers(pack)
+    for a, b in zip(jax.tree.leaves(actors_ref), jax.tree.leaves(actors)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(frames_ref), jax.tree.leaves(frames)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert type(frames) is type(frames_ref)
+
+    info = pack_info(pack)
+    assert info["n_teachers"] == 3
+    assert info["seed"] == 0
+    assert info["actor_param_count_per_teacher"] > 0
+
+    # direct pack loader agrees too
+    actors2, frames2 = load_teacher_pack(pack)
+    np.testing.assert_array_equal(
+        np.asarray(actors2["layers"][0]["w"]),
+        np.asarray(actors_ref["layers"][0]["w"]),
+    )
+    assert jnp.all(frames2.mass == frames_ref.mass)
