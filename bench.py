@@ -46,7 +46,9 @@ SUBBENCHES = [
     # axon tunnel and degraded the metric to null — size for the worst case
     ("fused_policy_eval", 2400),
     ("full_env_step_xla", 1500),
-    ("train_env_steps_per_s", 1500),
+    # production-shaped config (K=128): same three programs, sized for a
+    # worst-case cold compile of the K-batched collect
+    ("train_env_steps_per_s", 2400),
 ]
 
 
@@ -190,7 +192,11 @@ def bench_train_env_steps_per_s():
     from raptor_tpu.policy import network as student_net
     from raptor_tpu.rl import networks
 
-    K, M, T, gsteps = (4, 4, 32, 4) if _small() else (16, 8, EVAL_STEPS, 64)
+    # production-shaped: the flagship distillations run K*M ~= 5120 envs
+    # with ~2,804 env-steps per gradient step (913 gsteps / 2.56M steps per
+    # round); a 16x8 toy config under-amortized dispatch and underreported
+    # sustained throughput 2.6x (334k vs the 1024T run's measured ~875k)
+    K, M, T, gsteps = (4, 4, 32, 4) if _small() else (128, 8, EVAL_STEPS, 183)
     env = L2F(EnvConfig())
     cfg = post_training.DistillConfig(
         envs_per_teacher=M,
