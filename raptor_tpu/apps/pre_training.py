@@ -89,8 +89,11 @@ def main(argv=None):
             "pop_cfg": pop_cfg,
             "sac_cfg": sac_cfg,
             "seed": args.seed,
+            # host-pull once, slice in numpy (device-side per-index slicing
+            # is a fresh tiny XLA compile per index through the tunnel)
             "airframes": [
-                params_to_dict(jax.tree.map(lambda x: x[i], airframes))
+                params_to_dict(jax.tree.map(lambda x: x[i], hf))
+                for hf in (jax.tree.map(np.asarray, airframes),)
                 for i in range(min(n_teachers, 8))
             ],
         }
@@ -130,15 +133,22 @@ def main(argv=None):
                 step,
             )
 
-    # export per-teacher checkpoints + manifest for post-training
+    # export per-teacher checkpoints + manifest for post-training.
+    # Pull the WHOLE stacked population to host first (one d2h per pytree
+    # leaf) and slice in numpy: per-teacher device slicing is ~4k tiny eager
+    # dispatches through the remote tunnel, each a distinct XLA program
+    # (static slice index) that must compile on a cold cache — observed to
+    # take longer than the training run itself after a reimage.
+    host_actor = jax.tree.map(np.asarray, states.sac.actor)
+    host_airframes = jax.tree.map(np.asarray, airframes)
     manifest = []
     for i in range(n_teachers):
-        actor_i = jax.tree.map(lambda x: np.asarray(x[i]), states.sac.actor)
+        actor_i = jax.tree.map(lambda x: x[i], host_actor)
         path = run.checkpoint_path(args.super_steps * env_steps_per)
         path = path.replace(".h5", f"_teacher{i}.h5")
         ckpt_h5.save_mlp_actor(path, actor_i, meta={"teacher_index": i})
         frame_path = path.replace(".h5", "_dynamics.json")
-        save_params_json(frame_path, jax.tree.map(lambda x: x[i], airframes))
+        save_params_json(frame_path, jax.tree.map(lambda x: x[i], host_airframes))
         manifest.append(path)
     manifest_path = os.path.join(run.dir, "checkpoints.txt")
     with open(manifest_path, "w") as f:
