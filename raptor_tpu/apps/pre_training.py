@@ -30,6 +30,40 @@ from raptor_tpu.rl import sac
 from raptor_tpu.utils.extrack import Run
 
 
+def export_teachers(run, states, airframes, n_teachers, final_step):
+    """Export every teacher actor + its airframe JSON and write the
+    checkpoints.txt manifest (the reference's extract_checkpoints.sh
+    output, README:213-215).
+
+    Pulls the WHOLE stacked population to host first (one d2h per pytree
+    leaf) and slices in numpy: per-teacher device slicing is ~4k tiny eager
+    dispatches through the remote tunnel, each a distinct XLA program
+    (static slice index) that must compile on a cold cache — observed to
+    take longer than the training run itself after a cache wipe.
+
+    Called periodically during training (overwriting in place, manifest
+    written last via tmp+rename) so a hung run — one lost tunnel RPC blocks
+    the client forever — still leaves a complete, slightly-stale teacher
+    population on disk."""
+    host_actor = jax.tree.map(np.asarray, states.sac.actor)
+    host_airframes = jax.tree.map(np.asarray, airframes)
+    manifest = []
+    for i in range(n_teachers):
+        actor_i = jax.tree.map(lambda x: x[i], host_actor)
+        path = run.checkpoint_path(final_step)
+        path = path.replace(".h5", f"_teacher{i}.h5")
+        ckpt_h5.save_mlp_actor(path, actor_i, meta={"teacher_index": i})
+        frame_path = path.replace(".h5", "_dynamics.json")
+        save_params_json(frame_path, jax.tree.map(lambda x: x[i], host_airframes))
+        manifest.append(path)
+    manifest_path = os.path.join(run.dir, "checkpoints.txt")
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(manifest) + "\n")
+    os.replace(tmp, manifest_path)
+    return manifest_path
+
+
 def main(argv=None):
     from raptor_tpu.utils.cache import enable_persistent_cache
 
@@ -49,6 +83,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every", type=int, default=20)
+    p.add_argument("--checkpoint-every", type=int, default=500,
+                   help="also export the full teacher population every N "
+                        "super-steps (overwrites in place) so a hung or "
+                        "killed run still leaves a usable manifest; 0 = "
+                        "final export only")
     args = p.parse_args(argv)
 
     env = L2F(EnvConfig())
@@ -132,27 +171,15 @@ def main(argv=None):
                 },
                 step,
             )
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            export_teachers(
+                run, states, airframes, n_teachers,
+                args.super_steps * env_steps_per,
+            )
 
-    # export per-teacher checkpoints + manifest for post-training.
-    # Pull the WHOLE stacked population to host first (one d2h per pytree
-    # leaf) and slice in numpy: per-teacher device slicing is ~4k tiny eager
-    # dispatches through the remote tunnel, each a distinct XLA program
-    # (static slice index) that must compile on a cold cache — observed to
-    # take longer than the training run itself after a reimage.
-    host_actor = jax.tree.map(np.asarray, states.sac.actor)
-    host_airframes = jax.tree.map(np.asarray, airframes)
-    manifest = []
-    for i in range(n_teachers):
-        actor_i = jax.tree.map(lambda x: x[i], host_actor)
-        path = run.checkpoint_path(args.super_steps * env_steps_per)
-        path = path.replace(".h5", f"_teacher{i}.h5")
-        ckpt_h5.save_mlp_actor(path, actor_i, meta={"teacher_index": i})
-        frame_path = path.replace(".h5", "_dynamics.json")
-        save_params_json(frame_path, jax.tree.map(lambda x: x[i], host_airframes))
-        manifest.append(path)
-    manifest_path = os.path.join(run.dir, "checkpoints.txt")
-    with open(manifest_path, "w") as f:
-        f.write("\n".join(manifest) + "\n")
+    manifest_path = export_teachers(
+        run, states, airframes, n_teachers, args.super_steps * env_steps_per
+    )
     run.close()
     print(f"teachers: {n_teachers}  manifest: {manifest_path}")
     return manifest_path

@@ -67,3 +67,25 @@ def test_full_pipeline(tmp_path):
 
     # 6. config snapshots exist (extrack contract)
     assert glob.glob("experiments/*/*/config.json")
+
+
+@pytest.mark.slow
+def test_periodic_teacher_export_overwrites_in_place(tmp_path):
+    """--checkpoint-every exports the population mid-training (hang/kill
+    insurance): with cadence 1 the export runs every super-step, so the
+    final files are the result of repeated in-place overwrites and the
+    manifest (written via tmp+rename) must stay complete and loadable."""
+    os.chdir(tmp_path)
+    manifest = pre_app.main(
+        ["--population", "2", "--envs-per-teacher", "4", "--super-steps", "2",
+         "--eval-every", "0", "--checkpoint-every", "1",
+         "--experiments-dir", "experiments"]
+    )
+    paths = open(manifest).read().split()
+    assert len(paths) == 2
+    for p in paths:
+        actor = ckpt_h5.load_mlp_actor(p)
+        assert all(np.isfinite(l["w"]).all() for l in actor["layers"])
+        dyn = load_params_json(p.replace(".h5", "_dynamics.json"))
+        assert float(dyn.mass) > 0
+    assert not os.path.exists(manifest + ".tmp")
