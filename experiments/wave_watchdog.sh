@@ -24,9 +24,15 @@ while true; do
   EV=$(ls -t experiments/*/*_pre_training/events.out.tfevents.* 2>/dev/null | head -1)
   [ -n "$EV" ] || continue
   SIZE=$(stat -c %s "$EV")
-  AGE=$(( $(date +%s) - $(stat -c %Y "$EV") ))
+  # activity = newest write anywhere in the run dir: after the training
+  # loop, tfevents goes silent while the final teacher export writes
+  # h5/json files one by one — that is progress, not a hang.
+  RUNDIR=$(dirname "$EV")
+  LAST=$(find "$RUNDIR" -type f -printf '%T@\n' 2>/dev/null | sort -n | tail -1 | cut -d. -f1)
+  [ -n "$LAST" ] || continue
+  AGE=$(( $(date +%s) - LAST ))
   if [ "$SIZE" -gt 1024 ] && [ "$AGE" -gt 1200 ]; then
-    echo "HANG: $EV silent ${AGE}s (size $SIZE); killing $PY_PID $(date)" >> "$LOG"
+    echo "HANG: $RUNDIR silent ${AGE}s (events size $SIZE); killing $PY_PID $(date)" >> "$LOG"
     kill "$PY_PID"
     sleep 30
     kill -0 "$PY_PID" 2>/dev/null && kill -9 "$PY_PID"
