@@ -28,17 +28,43 @@ from raptor_tpu.utils.extrack import Run
 
 
 def load_teachers(manifest_path: str):
-    if manifest_path.endswith(".npz"):  # committed teacher pack
-        from raptor_tpu.apps.pack_teachers import load_teacher_pack
+    """Load a teacher population from any of:
 
+    - a `.npz` teacher pack (apps.pack_teachers),
+    - a `checkpoints.txt` manifest of per-teacher h5 paths (the
+      pre_training output, mirroring the reference's `checkpoints_*.txt`,
+      README:213-215),
+    - a manifest whose lines are themselves `.npz` packs (or a mix of
+      packs and h5 paths) — populations from several waves concatenate
+      along the K axis, so a reference-scale distillation can run purely
+      from committed packs after the build machine is reimaged.
+    """
+    from raptor_tpu.apps.pack_teachers import load_teacher_pack
+
+    if manifest_path.endswith(".npz"):  # committed teacher pack
         return load_teacher_pack(manifest_path)
     with open(manifest_path) as f:
         paths = [line.strip() for line in f if line.strip()]
-    actors = [ckpt_h5.load_mlp_actor(p) for p in paths]
-    frames = [load_params_json(p.replace(".h5", "_dynamics.json")) for p in paths]
-    teacher_actors = jax.tree.map(lambda *xs: jnp.stack(xs), *actors)
-    airframes = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
-    return teacher_actors, airframes
+    groups = []  # list of (stacked-[k] actors, stacked-[k] airframes)
+    h5_paths = [p for p in paths if not p.endswith(".npz")]
+    if h5_paths:
+        actors = [ckpt_h5.load_mlp_actor(p) for p in h5_paths]
+        frames = [
+            load_params_json(p.replace(".h5", "_dynamics.json"))
+            for p in h5_paths
+        ]
+        groups.append(
+            (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *actors),
+                jax.tree.map(lambda *xs: jnp.stack(xs), *frames),
+            )
+        )
+    groups.extend(load_teacher_pack(p) for p in paths if p.endswith(".npz"))
+    if len(groups) == 1:
+        return groups[0]
+    a = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[g[0] for g in groups])
+    f = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[g[1] for g in groups])
+    return a, f
 
 
 def evaluate_student(env, student, airframes, key, n_envs_per=8, episode_length=None):

@@ -70,3 +70,43 @@ def test_pack_roundtrip(tmp_path):
         np.asarray(actors_ref["layers"][0]["w"]),
     )
     assert jnp.all(frames2.mass == frames_ref.mass)
+
+
+def test_multi_pack_manifest(tmp_path):
+    """A manifest whose lines are .npz packs (several pre-training waves)
+    concatenates the populations along K — the reimage-surviving path to a
+    reference-scale distillation from committed packs alone."""
+    tmp = str(tmp_path)
+    manifest = _make_manifest(tmp, k=3)
+    actors_ref, frames_ref = load_teachers(manifest)
+
+    pack_a = os.path.join(tmp, "wave_a.npz")
+    pack_b = os.path.join(tmp, "wave_b.npz")
+    sl = lambda tree, lo, hi: jax.tree.map(lambda x: x[lo:hi], tree)
+    save_teacher_pack(pack_a, sl(actors_ref, 0, 2), sl(frames_ref, 0, 2))
+    save_teacher_pack(pack_b, sl(actors_ref, 2, 3), sl(frames_ref, 2, 3))
+
+    union = os.path.join(tmp, "union.txt")
+    with open(union, "w") as f:
+        f.write(pack_a + "\n" + pack_b + "\n")
+    actors, frames = load_teachers(union)
+    for a, b in zip(jax.tree.leaves(actors_ref), jax.tree.leaves(actors)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert jnp.all(frames.mass == frames_ref.mass)
+    assert type(frames) is type(frames_ref)
+
+    # mixed manifest: h5 paths first, then packs (order-normalized: all h5
+    # lines stack first, then packs in line order)
+    with open(manifest) as f:
+        h5_lines = f.read().strip().splitlines()
+    mixed = os.path.join(tmp, "mixed.txt")
+    with open(mixed, "w") as f:
+        f.write("\n".join(h5_lines) + "\n" + pack_b + "\n")
+    actors_m, frames_m = load_teachers(mixed)
+    assert frames_m.mass.shape[0] == 4
+    np.testing.assert_array_equal(
+        np.asarray(frames_m.mass[:3]), np.asarray(frames_ref.mass)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frames_m.mass[3:]), np.asarray(frames_ref.mass[2:3])
+    )
