@@ -5,6 +5,11 @@
 """
 
 import os
+import sys
+
+# script-by-path puts examples/ (not the repo root) on sys.path — make the
+# documented `python examples/quickstart.py` work without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("RAPTOR_PLATFORM"):
     import jax as _jax
