@@ -52,7 +52,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("manifest", nargs="?", default=None,
                    help="teacher checkpoints.txt (omit with --synthetic)")
-    p.add_argument("--synthetic", type=int, default=0, metavar="K",
+    p.add_argument("--synthetic", type=int, default=None, metavar="K",
                    help="benchmark with K randomly initialized teachers + "
                         "sampled airframes instead of a checkpoint manifest "
                         "(throughput/parity are weight-independent; lets the "
@@ -63,6 +63,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     env = L2F(EnvConfig())
+    if args.synthetic is not None and args.synthetic <= 0:
+        p.error(f"--synthetic needs a positive teacher count, got "
+                f"{args.synthetic}")
     if args.synthetic:
         from raptor_tpu.distill.population import sample_teacher_airframes
         from raptor_tpu.rl import networks
@@ -80,9 +83,7 @@ def main(argv=None):
     M = args.envs_per_teacher
     T = args.rollout_length
     n_env_steps = K * M * T
-    cfg = post_training.DistillConfig(
-        envs_per_teacher=M, rollout_length=T, fused_collect=True
-    )
+    cfg = post_training.DistillConfig(envs_per_teacher=M, rollout_length=T)
     from raptor_tpu.distill.population import broadcast_airframe_to_envs
 
     env_params = broadcast_airframe_to_envs(airframes, M)
@@ -189,7 +190,7 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
     if not report["parity_ok"]:
-        raise SystemExit(2)  # callers gate --fused-collect on this
+        raise SystemExit(2)  # the kernel showcase must match the XLA path
     return report
 
 

@@ -57,8 +57,26 @@ def save_teacher_pack(path: str, teacher_actors, airframes,
 
 def load_teacher_pack(path: str):
     """Returns (teacher_actors, airframes) exactly as
-    post_training.load_teachers would from the original manifest."""
+    post_training.load_teachers would from the original manifest.
+
+    Self-verifies on load (the h5 checkpoint convention, ADVICE r2): the
+    embedded meta must parse, carry a known version, and agree with the
+    loaded K — a truncated/corrupt or future-format pack errors clearly
+    instead of loading silently."""
     with np.load(path) as z:
+        try:
+            meta = json.loads(bytes(z["meta"]).decode())
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                f"teacher pack {path!r} has no parseable meta — truncated "
+                f"or not a raptor_tpu teacher pack ({e})"
+            ) from e
+        if meta.get("version") != PACK_VERSION:
+            raise ValueError(
+                f"teacher pack {path!r} is format version "
+                f"{meta.get('version')!r}; this build reads version "
+                f"{PACK_VERSION}"
+            )
         n_layers = sum(1 for k in z.files if k.endswith("/w"))
         layers = [
             {
@@ -70,6 +88,12 @@ def load_teacher_pack(path: str):
         airframes = DynamicsParams(
             **{f: jnp.asarray(z[f"airframe/{f}"]) for f in _FIELDS}
         )
+        k = int(jax.tree.leaves(airframes)[0].shape[0])
+        if meta.get("n_teachers") != k:
+            raise ValueError(
+                f"teacher pack {path!r}: meta says {meta.get('n_teachers')} "
+                f"teachers but arrays hold {k}"
+            )
     return {"layers": layers}, airframes
 
 

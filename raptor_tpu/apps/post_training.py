@@ -45,13 +45,23 @@ def load_teachers(manifest_path: str):
         return load_teacher_pack(manifest_path)
     with open(manifest_path) as f:
         paths = [line.strip() for line in f if line.strip()]
+    if not paths:
+        raise ValueError(
+            f"teacher manifest {manifest_path!r} is empty — it must list "
+            ".h5 checkpoints and/or .npz teacher packs, one per line"
+        )
+    # groups are built per manifest line (consecutive h5 runs stack into one
+    # group) so the K-axis teacher order matches the manifest line order.
     groups = []  # list of (stacked-[k] actors, stacked-[k] airframes)
-    h5_paths = [p for p in paths if not p.endswith(".npz")]
-    if h5_paths:
-        actors = [ckpt_h5.load_mlp_actor(p) for p in h5_paths]
+    h5_run = []
+
+    def flush_h5():
+        if not h5_run:
+            return
+        actors = [ckpt_h5.load_mlp_actor(p) for p in h5_run]
         frames = [
             load_params_json(p.replace(".h5", "_dynamics.json"))
-            for p in h5_paths
+            for p in h5_run
         ]
         groups.append(
             (
@@ -59,7 +69,15 @@ def load_teachers(manifest_path: str):
                 jax.tree.map(lambda *xs: jnp.stack(xs), *frames),
             )
         )
-    groups.extend(load_teacher_pack(p) for p in paths if p.endswith(".npz"))
+        h5_run.clear()
+
+    for p in paths:
+        if p.endswith(".npz"):
+            flush_h5()
+            groups.append(load_teacher_pack(p))
+        else:
+            h5_run.append(p)
+    flush_h5()
     if len(groups) == 1:
         return groups[0]
     a = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[g[0] for g in groups])
@@ -100,10 +118,21 @@ def main(argv=None):
     p.add_argument("--grad-steps-per-round", type=int, default=0,
                    help="minibatch updates per round from the aggregate "
                         "(reference: ~913/round avg, 146k total)")
-    p.add_argument("--fused-collect", action="store_true",
-                   help="collect beta==0 rounds through the fused Pallas "
-                        "rollout kernel + batched MXU relabel pass "
-                        "(ops/pallas_collect.py)")
+    p.add_argument("--teachers-per-round", type=int, default=0,
+                   help="collect from a random subset of K teachers each "
+                        "round (0 = all). The reference collects ~470k "
+                        "env-steps/round (75.3M/160); with T=500, M=8 that "
+                        "is ~118 teachers/round")
+    p.add_argument("--standardize", action="store_true",
+                   help="fit an observation normalizer on the round-0 "
+                        "teacher-driven data (frozen afterwards) and fold "
+                        "it into the exported student (exact)")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="log per-round loss decomposition: fresh-round "
+                        "loss, per-action-dim MSE, teacher-disagreement "
+                        "floor (diagnostics/* tags)")
+    p.add_argument("--lr-final-scale", type=float, default=0.05,
+                   help="cosine LR floor as a fraction of peak LR")
     p.add_argument("--eval-max-angle", type=float, default=0.0,
                    help="eval-parity InitConfig.max_angle for evaluation/* "
                         "and crazyflie/* tags (0 = use training init)")
@@ -127,7 +156,10 @@ def main(argv=None):
         aggregate_capacity=args.aggregate_capacity,
         grad_steps_per_round=args.grad_steps_per_round,
         total_grad_steps=total_grad if args.aggregate_capacity else 0,
-        fused_collect=args.fused_collect,
+        lr_final_scale=args.lr_final_scale,
+        teachers_per_round=args.teachers_per_round,
+        standardize=args.standardize,
+        diagnostics=args.diagnostics,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})

@@ -41,10 +41,12 @@ def export_teachers(run, states, airframes, n_teachers, final_step):
     (static slice index) that must compile on a cold cache — observed to
     take longer than the training run itself after a cache wipe.
 
-    Called periodically during training (overwriting in place, manifest
-    written last via tmp+rename) so a hung run — one lost tunnel RPC blocks
-    the client forever — still leaves a complete, slightly-stale teacher
-    population on disk."""
+    Called periodically during training so a hung run — one lost tunnel RPC
+    blocks the client forever — still leaves a complete, slightly-stale
+    teacher population on disk.  EVERY file (teacher h5s, dynamics JSONs,
+    manifest) is written to a .tmp path and os.replace()d: a SIGKILL mid
+    h5py write must never leave a truncated file that a still-valid manifest
+    references (ADVICE r2)."""
     host_actor = jax.tree.map(np.asarray, states.sac.actor)
     host_airframes = jax.tree.map(np.asarray, airframes)
     manifest = []
@@ -52,9 +54,13 @@ def export_teachers(run, states, airframes, n_teachers, final_step):
         actor_i = jax.tree.map(lambda x: x[i], host_actor)
         path = run.checkpoint_path(final_step)
         path = path.replace(".h5", f"_teacher{i}.h5")
-        ckpt_h5.save_mlp_actor(path, actor_i, meta={"teacher_index": i})
+        ckpt_h5.save_mlp_actor(path + ".tmp", actor_i,
+                               meta={"teacher_index": i})
+        os.replace(path + ".tmp", path)
         frame_path = path.replace(".h5", "_dynamics.json")
-        save_params_json(frame_path, jax.tree.map(lambda x: x[i], host_airframes))
+        save_params_json(frame_path + ".tmp",
+                         jax.tree.map(lambda x: x[i], host_airframes))
+        os.replace(frame_path + ".tmp", frame_path)
         manifest.append(path)
     manifest_path = os.path.join(run.dir, "checkpoints.txt")
     tmp = manifest_path + ".tmp"

@@ -55,9 +55,19 @@ class DistillConfig:
     total_grad_steps: int = 0  # >0 enables warmup-cosine LR over this horizon
     lr_warmup_frac: float = 0.02
     lr_final_scale: float = 0.05  # cosine floor = lr * this
-    # --- fused collect (ops/pallas_collect.py): whole-rollout Pallas kernel
-    # for beta==0 rounds; teacher labels via one batched MXU relabel pass
-    fused_collect: bool = False
+    # --- sample-efficiency controls (VERDICT r2 item 1): the reference
+    # collects only ~470k env-steps/round (75.3M / 160 rounds, SURVEY §6.2);
+    # subsampling the teacher population per round matches that budget
+    # without shrinking the population.
+    teachers_per_round: int = 0  # 0 = use all K teachers every round
+    # --- observation standardization (reference nn/layers/standardize,
+    # README:114 — part of the reference's *training* include set; invisible
+    # in the shipped checkpoint because folding it into dense_0 is exact).
+    # Fitted on the round-0 (teacher-driven) data, frozen afterwards, folded
+    # into the exported/evaluated student (policy.network.fold_norm).
+    standardize: bool = False
+    # --- per-round loss decomposition (VERDICT r2 item 2)
+    diagnostics: bool = False
 
 
 class RoundData(NamedTuple):
@@ -66,6 +76,30 @@ class RoundData(NamedTuple):
     obs: jnp.ndarray  # [T, B, 22] policy observations
     teacher_action: jnp.ndarray  # [T, B, 4]
     reset: jnp.ndarray  # [T, B] 1.0 where the env was freshly reset
+
+
+def identity_norm(obs_dim: int = POLICY_OBS_DIM) -> dict:
+    return {
+        "mean": jnp.zeros((obs_dim,), jnp.float32),
+        "std": jnp.ones((obs_dim,), jnp.float32),
+    }
+
+
+def fit_norm(obs: jnp.ndarray, std_floor: float = 1e-2) -> dict:
+    """Observation normalizer from collected data (obs [..., 22]); the std
+    floor keeps near-constant components (e.g. a zero prev-action channel at
+    episode starts) from exploding the scale."""
+    flat = obs.reshape(-1, obs.shape[-1])
+    return {
+        "mean": jnp.mean(flat, axis=0),
+        "std": jnp.maximum(jnp.std(flat, axis=0), std_floor),
+    }
+
+
+def _norm_obs(obs: jnp.ndarray, norm) -> jnp.ndarray:
+    if norm is None:
+        return obs
+    return (obs - norm["mean"]) / norm["std"]
 
 
 def teacher_mix(cfg: DistillConfig, round_idx: int) -> float:
@@ -83,7 +117,8 @@ def make_collect(env: L2F, cfg: DistillConfig):
     _, v_step = env.vector_ops()
     v_reset = jax.vmap(env.reset, in_axes=(0, 0))
 
-    def collect(student_params, teacher_actors, env_params, key, beta):
+    def collect(student_params, teacher_actors, env_params, key, beta,
+                norm=None):
         k_reset, k_scan = jax.random.split(key)
         k_shape = jax.tree.leaves(env_params)[0].shape  # (K, M, ...)
         K, M = k_shape[0], k_shape[1]
@@ -102,7 +137,7 @@ def make_collect(env: L2F, cfg: DistillConfig):
         def body(carry, key_t):
             es, obs, h = carry
             h_new, student_action = student_net.apply_step(
-                student_params, h, obs[..., :POLICY_OBS_DIM]
+                student_params, h, _norm_obs(obs[..., :POLICY_OBS_DIM], norm)
             )
             label = teacher_label(obs)
             use_teacher = (
@@ -175,7 +210,14 @@ def fused_collect_round(
     batched relabel pass.  Initial states come from the same XLA sampler as
     the XLA path (so the t=0 distribution matches exactly); mid-rollout
     auto-resets use the in-kernel PRNG, seeded from this round's key (so
-    different master seeds give different reset streams)."""
+    different master seeds give different reset streams).
+
+    RETIRED from the production `distill()` loop (VERDICT r2 item 7): the
+    kernel measured 0.6x the XLA collect at the production workload
+    (artifacts/bench_collect_r02.json) and collect is not the distillation
+    bottleneck (training is). Kept as a benchmarked in-kernel closed-loop
+    demonstration — `apps/bench_collect.py` drives it and the parity tests
+    in tests/test_pallas_collect.py pin it against the XLA path."""
     from raptor_tpu.ops.pallas_collect import make_fused_collect
 
     k_shape = jax.tree.leaves(env_params)[0].shape
@@ -211,8 +253,9 @@ def fused_collect_round(
     return RoundData(obs=obs, teacher_action=labels, reset=reset)
 
 
-def bptt_loss(student_params, obs, teacher_action, reset):
-    """MSE over a [T, B] batch of sequences with reset-masked hidden carry.
+def bptt_actions(student_params, obs, reset, norm=None):
+    """Student actions over a [T, B] batch of sequences with reset-masked
+    hidden carry.
 
     reset[t] = 1 means the state at time t began a fresh episode, so the
     hidden state entering step t is the learned initial state.
@@ -229,8 +272,66 @@ def bptt_loss(student_params, obs, teacher_action, reset):
     # shift: reset[t] marks the NEXT row's episode start (done at t resets
     # t+1); the first row of a collected round always starts fresh
     entering_reset = jnp.concatenate([jnp.ones((1, B)), reset[:-1]], axis=0)
-    _, actions = jax.lax.scan(step, h0, (obs, entering_reset))
+    _, actions = jax.lax.scan(step, h0, (_norm_obs(obs, norm), entering_reset))
+    return actions
+
+
+def bptt_loss(student_params, obs, teacher_action, reset, norm=None):
+    """Scalar MSE of bptt_actions vs teacher labels."""
+    actions = bptt_actions(student_params, obs, reset, norm)
     return jnp.mean((actions - teacher_action) ** 2)
+
+
+def make_diagnostics(env: L2F, n_probe_teachers: int = 8, probe_cols: int = 64):
+    """Per-round loss decomposition (VERDICT r2 item 2: the 17-20x gap
+    between our final distillation loss and the reference tfevents'
+    `loss`=0.022 needs a measured explanation).
+
+    Returns two jitted probes:
+
+    - fresh(student, RoundData, norm) -> {loss_fresh, mse_dim[4]}: the loss
+      on the JUST-collected on-policy round (vs the reservoir mixture the
+      training loss is computed on) plus its per-action-dim split.
+    - disagreement(teacher_actors_sub [N], airframes_sub [N], obs [T,C,22])
+      -> scalar: mean variance across N teachers each labeling the SAME
+      policy-observations with its OWN privileged tail. The student only
+      sees the 22-dim obs, so states that different airframes visit with
+      the same policy-obs but different correct actions put an irreducible
+      floor under the 22-obs-conditioned MSE — this measures that floor's
+      scale directly.
+    """
+
+    def fresh(student_params, data: RoundData, norm=None):
+        obs = data.obs[:, :probe_cols]
+        lab = data.teacher_action[:, :probe_cols]
+        rst = data.reset[:, :probe_cols]
+        actions = bptt_actions(student_params, obs, rst, norm)
+        err2 = (actions - lab) ** 2
+        return {
+            "loss_fresh": jnp.mean(err2),
+            "mse_dim": jnp.mean(err2, axis=(0, 1)),
+        }
+
+    def disagreement(teacher_actors_sub, airframes_sub, obs):
+        tails = jax.vmap(env.privileged_tail)(airframes_sub)  # [N, 9]
+        obs_p = obs[:, :probe_cols]
+
+        def label_one(actor, tail):
+            full = jnp.concatenate(
+                [
+                    obs_p,
+                    jnp.broadcast_to(
+                        tail, obs_p.shape[:-1] + (tail.shape[-1],)
+                    ),
+                ],
+                axis=-1,
+            )
+            return networks.actor_mean(actor, full)  # [T, C, 4]
+
+        labels = jax.vmap(label_one)(teacher_actors_sub, tails)  # [N,T,C,4]
+        return jnp.mean(jnp.var(labels, axis=0))
+
+    return jax.jit(fresh), jax.jit(disagreement)
 
 
 class Aggregate(NamedTuple):
@@ -308,7 +409,7 @@ def make_train_from_aggregate(cfg: DistillConfig):
     prefix and running full-sequence BPTT."""
     optim = make_optimizer(cfg)
 
-    def train_round(student_params, opt_state, agg: Aggregate, key):
+    def train_round(student_params, opt_state, agg: Aggregate, key, norm=None):
         def step(carry, k):
             params, opt = carry
             bidx = jax.random.randint(
@@ -317,7 +418,9 @@ def make_train_from_aggregate(cfg: DistillConfig):
             obs = agg.obs[:, bidx].astype(jnp.float32)
             lab = agg.teacher_action[:, bidx].astype(jnp.float32)
             rst = agg.reset[:, bidx].astype(jnp.float32)
-            loss, grads = jax.value_and_grad(bptt_loss)(params, obs, lab, rst)
+            loss, grads = jax.value_and_grad(bptt_loss)(
+                params, obs, lab, rst, norm
+            )
             updates, opt = optim.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
             return (params, opt), loss
@@ -337,7 +440,7 @@ def make_train_epoch(cfg: DistillConfig):
     steps with full-sequence BPTT."""
     optim = optax.adam(cfg.learning_rate)
 
-    def train_epoch(student_params, opt_state, data: RoundData, key):
+    def train_epoch(student_params, opt_state, data: RoundData, key, norm=None):
         T, B = data.obs.shape[0], data.obs.shape[1]
         bs = min(cfg.batch_size, B)
         n_batches = B // bs
@@ -349,7 +452,9 @@ def make_train_epoch(cfg: DistillConfig):
             obs = data.obs[:, idx]
             lab = data.teacher_action[:, idx]
             rst = data.reset[:, idx]
-            loss, grads = jax.value_and_grad(bptt_loss)(params, obs, lab, rst)
+            loss, grads = jax.value_and_grad(bptt_loss)(
+                params, obs, lab, rst, norm
+            )
             updates, opt = optim.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
             return (params, opt), loss
@@ -372,13 +477,18 @@ def distill(
     log_fn=None,
     round_hook=None,
 ) -> Tuple[dict, list]:
-    """Run the full distillation. Returns (student_params, loss_history)."""
+    """Run the full distillation. Returns (student_params, loss_history).
+
+    When cfg.standardize is set the returned params (and everything handed
+    to round_hook) have the fitted normalizer folded into dense_0
+    (policy.network.fold_norm — exact), so exports/evals see a plain
+    reference-schema policy.
+    """
     from raptor_tpu.distill.population import broadcast_airframe_to_envs
 
     k_init, key = jax.random.split(key)
     student = student_net.init_params(k_init)
     collect = make_collect(env, cfg)
-    relabel_fn = make_relabel(env) if cfg.fused_collect else None
     aggregated = cfg.aggregate_capacity > 0 and cfg.grad_steps_per_round > 0
     if aggregated:
         agg = aggregate_init(cfg)
@@ -389,24 +499,61 @@ def distill(
     opt_state = optim.init(student)
     env_params = broadcast_airframe_to_envs(airframes, cfg.envs_per_teacher)
 
+    # per-round teacher subsampling (VERDICT r2 item 1): collect from a
+    # random K_sub-subset each round so the env-step budget per round
+    # matches the reference's ~470k without shrinking the population the
+    # aggregate ultimately covers.
+    K_total = jax.tree.leaves(airframes)[0].shape[0]
+    K_sub = cfg.teachers_per_round
+    if K_sub and K_sub < K_total:
+
+        @jax.jit
+        def subsample(actors, params, k):
+            idx = jax.random.choice(k, K_total, (K_sub,), replace=False)
+            take = lambda t: jax.tree.map(lambda x: x[idx], t)
+            return take(actors), take(params)
+
+    else:
+        subsample = None
+
+    if cfg.diagnostics:
+        diag_fresh, diag_disagree = make_diagnostics(env)
+        n_probe = min(8, K_total)
+
+        @jax.jit
+        def probe_teachers(actors, frames, k):
+            idx = jax.random.choice(k, K_total, (n_probe,), replace=False)
+            take = lambda t: jax.tree.map(lambda x: x[idx], t)
+            return take(actors), take(frames)
+
+    norm = None
+    folded = lambda p: (
+        p if norm is None else student_net.fold_norm(p, norm["mean"],
+                                                     norm["std"])
+    )
     loss_history = []
     grad_step = 0
     env_steps = 0
     for r in range(n_rounds):
-        key, k_collect, k_add, k_epoch = jax.random.split(key, 4)
+        key, k_collect, k_add, k_epoch, k_subs, k_diag = jax.random.split(
+            key, 6
+        )
         beta = teacher_mix(cfg, r)
-        if cfg.fused_collect and beta == 0.0:
-            data = fused_collect_round(
-                student, teacher_actors, env_params, k_collect, env, cfg,
-                relabel_fn,
-            )
+        if subsample is not None:
+            actors_r, params_r = subsample(teacher_actors, env_params, k_subs)
         else:
-            data = collect(student, teacher_actors, env_params, k_collect, beta)
+            actors_r, params_r = teacher_actors, env_params
+        data = collect(student, actors_r, params_r, k_collect, beta, norm)
+        if cfg.standardize and norm is None:
+            # fit once on the round-0 (teacher-driven, beta=1) distribution,
+            # frozen afterwards — matching a standardize layer fitted before
+            # training rather than a running statistic.
+            norm = fit_norm(data.obs)
         env_steps += cfg.rollout_length * data.obs.shape[1]
         if aggregated:
             agg = agg_add(agg, data, k_add)
             student, opt_state, losses = train_round(
-                student, opt_state, agg, k_epoch
+                student, opt_state, agg, k_epoch, norm
             )
             losses = jax.device_get(losses)
             if log_fn is not None:
@@ -424,13 +571,26 @@ def distill(
         else:
             for e in range(cfg.epochs_per_round):
                 student, opt_state, losses = train_epoch(
-                    student, opt_state, data, jax.random.fold_in(k_epoch, e)
+                    student, opt_state, data, jax.random.fold_in(k_epoch, e),
+                    norm
                 )
                 for loss in losses:
                     if log_fn is not None:
                         log_fn("loss", float(loss), grad_step)
                     grad_step += 1
                 loss_history.append(float(losses[-1]))
+        if cfg.diagnostics and log_fn is not None:
+            fresh = diag_fresh(student, data, norm)
+            p_actors, p_frames = probe_teachers(teacher_actors, airframes,
+                                                k_diag)
+            spread = diag_disagree(p_actors, p_frames, data.obs)
+            log_fn("diagnostics/loss_fresh", float(fresh["loss_fresh"]),
+                   grad_step)
+            for d in range(4):
+                log_fn(f"diagnostics/mse_dim{d}", float(fresh["mse_dim"][d]),
+                       grad_step)
+            log_fn("diagnostics/teacher_disagreement", float(spread),
+                   grad_step)
         if round_hook is not None:
-            round_hook(r, student, env_steps)
-    return student, loss_history
+            round_hook(r, folded(student), env_steps)
+    return folded(student), loss_history

@@ -125,5 +125,24 @@ def apply_sequence_jit(params: Params, obs_seq: jax.Array):
     return apply_sequence(params, obs_seq)
 
 
+def fold_norm(params: Params, mean: jax.Array, std: jax.Array) -> Params:
+    """Fold an observation standardizer into dense_0 (exact, affine-in-affine).
+
+    The reference trains with an explicit standardize layer
+    (rl-tools nn/layers/standardize, part of the training include set —
+    SURVEY §3.2 row 13) but ships checkpoints without one: dense_0 absorbing
+    `(obs - mean)/std` is lossless because both are affine:
+
+        W ((x - mean)/std) + b  ==  (W/std) x + (b - (W/std) mean)
+
+    Returns a plain reference-schema parameter pytree — exports, evals, and
+    deployments need no knowledge that training was standardized.
+    """
+    d0 = params["dense_0"]
+    w = d0["weights"] / std[None, :]
+    b = d0["biases"] - w @ mean
+    return {**params, "dense_0": {"weights": w, "biases": b}}
+
+
 def num_params(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -184,6 +184,103 @@ def test_distill_aggregated_reduces_loss(env):
     assert max(steps_seen) >= 48  # grad-step counter spans rounds
 
 
+def test_fold_norm_exact():
+    """fold_norm(params)(raw obs) == params(normalized obs) — the folding
+    identity that lets a standardize-trained student export as a plain
+    reference-schema policy."""
+    params = student_net.init_params(jax.random.key(0))
+    mean = jax.random.normal(jax.random.key(1), (22,))
+    std = jnp.abs(jax.random.normal(jax.random.key(2), (22,))) + 0.5
+    obs = jax.random.normal(jax.random.key(3), (7, 22)) * 3.0 + 1.0
+    h = student_net.initial_hidden(params, 7)
+    h_a, a_a = student_net.apply_step(params, h, (obs - mean) / std)
+    folded = student_net.fold_norm(params, mean, std)
+    h_b, a_b = student_net.apply_step(folded, h, obs)
+    np.testing.assert_allclose(np.asarray(a_a), np.asarray(a_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=1e-5)
+
+
+def test_distill_teachers_per_round(env):
+    """Per-round teacher subsampling (VERDICT r2 item 1): each round's
+    collected batch is K_sub x M sequences and the env-step counter grows by
+    exactly T x K_sub x M."""
+    K, K_sub, M, T = 6, 2, 4, 30
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=M,
+        rollout_length=T,
+        teacher_mix_decay_rounds=2,
+        aggregate_capacity=64,
+        grad_steps_per_round=4,
+        batch_size=8,
+        teachers_per_round=K_sub,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    seen_steps = []
+    student, history = post_training.distill(
+        jax.random.key(2),
+        env,
+        teachers,
+        airframes,
+        cfg,
+        n_rounds=3,
+        round_hook=lambda r, s, steps: seen_steps.append(steps),
+    )
+    assert seen_steps == [T * K_sub * M * (i + 1) for i in range(3)]
+    assert np.all(np.isfinite(history))
+
+
+def test_distill_standardize_and_diagnostics(env):
+    """standardize fits a round-0 normalizer, trains on normalized obs, and
+    returns a FOLDED plain policy; diagnostics logs the decomposition tags
+    (VERDICT r2 item 2)."""
+    K = 2
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=8,
+        rollout_length=50,
+        batch_size=8,
+        teacher_mix_decay_rounds=2,
+        aggregate_capacity=128,
+        grad_steps_per_round=16,
+        total_grad_steps=64,
+        standardize=True,
+        diagnostics=True,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    # held-out probe: pure teacher rollouts, RAW observations (the returned
+    # student must be a plain folded policy needing no normalizer)
+    env_params = population.broadcast_airframe_to_envs(airframes, 8)
+    collect = post_training.make_collect(env, cfg)
+    student0 = student_net.init_params(jax.random.key(2))
+    probe = collect(student0, teachers, env_params, jax.random.key(99), 1.0)
+    loss_before = float(post_training.bptt_loss(
+        student0, probe.obs, probe.teacher_action, probe.reset
+    ))
+    tags = {}
+    student, history = post_training.distill(
+        jax.random.key(2),
+        env,
+        teachers,
+        airframes,
+        cfg,
+        n_rounds=4,
+        log_fn=lambda tag, v, s: tags.setdefault(tag, []).append(v),
+    )
+    assert np.all(np.isfinite(history))
+    for t in ("diagnostics/loss_fresh", "diagnostics/mse_dim0",
+              "diagnostics/mse_dim3", "diagnostics/teacher_disagreement"):
+        assert t in tags and len(tags[t]) == 4 and np.all(np.isfinite(tags[t]))
+    loss_after = float(post_training.bptt_loss(
+        student, probe.obs, probe.teacher_action, probe.reset
+    ))
+    assert loss_after < loss_before * 0.5, (loss_before, loss_after)
+
+
 def test_population_multi_step_equivalence(env):
     """N batched super-steps == N sequential super-steps (same RNG path)."""
     pop_cfg = population.PopulationConfig(

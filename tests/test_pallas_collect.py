@@ -193,7 +193,7 @@ def test_fused_collect_round_shapes():
     )
     student = student_net.init_params(jax.random.key(2))
     cfg = post_training.DistillConfig(
-        envs_per_teacher=M, rollout_length=10, fused_collect=True
+        envs_per_teacher=M, rollout_length=10
     )
     data = post_training.fused_collect_round(
         student, teacher_actors, env_params, key, env, cfg,

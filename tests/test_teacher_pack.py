@@ -95,18 +95,75 @@ def test_multi_pack_manifest(tmp_path):
     assert jnp.all(frames.mass == frames_ref.mass)
     assert type(frames) is type(frames_ref)
 
-    # mixed manifest: h5 paths first, then packs (order-normalized: all h5
-    # lines stack first, then packs in line order)
+    # mixed manifest: the K axis preserves MANIFEST LINE ORDER even when
+    # packs and h5 runs interleave (ADVICE r2) — pack first, h5 lines after
     with open(manifest) as f:
         h5_lines = f.read().strip().splitlines()
     mixed = os.path.join(tmp, "mixed.txt")
     with open(mixed, "w") as f:
-        f.write("\n".join(h5_lines) + "\n" + pack_b + "\n")
+        f.write(pack_b + "\n" + "\n".join(h5_lines) + "\n")
     actors_m, frames_m = load_teachers(mixed)
     assert frames_m.mass.shape[0] == 4
     np.testing.assert_array_equal(
-        np.asarray(frames_m.mass[:3]), np.asarray(frames_ref.mass)
+        np.asarray(frames_m.mass[:1]), np.asarray(frames_ref.mass[2:3])
     )
     np.testing.assert_array_equal(
-        np.asarray(frames_m.mass[3:]), np.asarray(frames_ref.mass[2:3])
+        np.asarray(frames_m.mass[1:]), np.asarray(frames_ref.mass)
     )
+
+
+def test_empty_manifest_errors(tmp_path):
+    """A blank manifest raises a clear ValueError, not an opaque tree-map
+    TypeError (ADVICE r2)."""
+    import pytest
+
+    empty = os.path.join(str(tmp_path), "empty.txt")
+    with open(empty, "w") as f:
+        f.write("\n\n")
+    with pytest.raises(ValueError, match="empty"):
+        load_teachers(empty)
+
+
+def test_pack_self_verifies_on_load(tmp_path):
+    """Version/meta/K checks on pack load (ADVICE r2): future-format and
+    meta-inconsistent packs error clearly."""
+    import pytest
+
+    tmp = str(tmp_path)
+    manifest = _make_manifest(tmp, k=2)
+    actors, frames = load_teachers(manifest)
+    pack = os.path.join(tmp, "ok.npz")
+    save_teacher_pack(pack, actors, frames)
+    load_teacher_pack(pack)  # fine
+
+    # future version
+    with np.load(pack) as z:
+        arrays = {k: z[k] for k in z.files}
+    import json as _json
+
+    arrays["meta"] = np.frombuffer(
+        _json.dumps({"version": 99, "n_teachers": 2}).encode(), dtype=np.uint8
+    )
+    bad_ver = os.path.join(tmp, "bad_ver.npz")
+    with open(bad_ver, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    with pytest.raises(ValueError, match="version"):
+        load_teacher_pack(bad_ver)
+
+    # K mismatch
+    arrays["meta"] = np.frombuffer(
+        _json.dumps({"version": 1, "n_teachers": 7}).encode(), dtype=np.uint8
+    )
+    bad_k = os.path.join(tmp, "bad_k.npz")
+    with open(bad_k, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    with pytest.raises(ValueError, match="teachers"):
+        load_teacher_pack(bad_k)
+
+    # missing meta entirely
+    del arrays["meta"]
+    no_meta = os.path.join(tmp, "no_meta.npz")
+    with open(no_meta, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    with pytest.raises(ValueError, match="meta"):
+        load_teacher_pack(no_meta)
