@@ -1,0 +1,205 @@
+"""CLI: profile the population pre-training super-step (VERDICT r2 item 3).
+
+Teacher pre-training is ~94% of the TPU budget for a flagship run (a
+K=128 x 30.7M-step wave = ~2h on one v5e chip vs ~10 min for the
+distillation it feeds) and had never been profiled. This app measures the
+marginal cost per super-step (NOTES.md methodology: device->host readback
+sync, difference between two dispatch counts) for a grid of variants:
+
+  - K-scaling: does doubling the population double wall-clock, or are the
+    tiny 64x64 learner matmuls underutilizing the chip (if so, a K=256
+    wave trains 2x the teachers for <2x the time at IDENTICAL per-teacher
+    quality — the win is per-teacher throughput, no quality tradeoff)?
+  - collect vs train split: which half dominates?
+  - batch-size / gradient-steps shape at fixed sample-reuse ratio.
+
+    python -m raptor_tpu.apps.profile_pretraining --out artifacts/profile_pretraining.json
+
+Each variant is its own XLA program: first run pays a cold axon compile
+per variant (minutes), reruns are cached.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(tree) -> float:
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
+
+
+def _time_marginal(fn, state0, n_lo, n_hi):
+    """fn must be state -> state-like (donated chain); returns (s/call,
+    final_state)."""
+    s = fn(state0)  # compile + warm
+    _sync(s)
+    t0 = time.perf_counter()
+    for _ in range(n_lo):
+        s = fn(s)
+    _sync(s)
+    t1 = time.perf_counter()
+    for _ in range(n_hi):
+        s = fn(s)
+    _sync(s)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo), s
+
+
+def profile_variant(
+    name: str,
+    n_teachers: int,
+    envs_per_teacher: int = 32,
+    rollout_length: int = 16,
+    gradient_steps: int = 16,
+    batch_size: int = 256,
+    replay_capacity: int = 1536,
+    steps_per_call: int = 10,
+    mode: str = "full",  # full | collect | train
+    n_lo: int = 1,
+    n_hi: int = 4,
+) -> dict:
+    from raptor_tpu.distill import population
+    from raptor_tpu.env import EnvConfig, L2F
+    from raptor_tpu.rl import runner, sac
+
+    env = L2F(EnvConfig())
+    pop_cfg = population.PopulationConfig(
+        n_teachers=n_teachers,
+        envs_per_teacher=envs_per_teacher,
+        rollout_length=rollout_length,
+        gradient_steps=gradient_steps,
+        batch_size=batch_size,
+        replay_capacity=replay_capacity,
+        warmup_super_steps=1,
+    )
+    sac_cfg = sac.SACConfig()
+    airframes = population.sample_teacher_airframes(
+        jax.random.key(0), n_teachers
+    )
+    states, env_params, run_cfg = population.population_init(
+        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    )
+    warmup = population.make_population_warmup(env, run_cfg)
+    states = warmup(states, env_params)
+
+    if mode == "full":
+        step = population.make_population_multi_step(
+            env, run_cfg, sac_cfg, steps_per_call
+        )
+        fn = lambda s: step(s, env_params)[0]
+    elif mode == "collect":
+
+        def member(state, params):
+            for _ in range(steps_per_call):
+                state = runner.collect(state, env, params, run_cfg)
+            return state
+
+        step = jax.jit(jax.vmap(member), donate_argnums=(0,))
+        fn = lambda s: step(s, env_params)
+    elif mode == "train":
+
+        def member(state, params):
+            for _ in range(steps_per_call):
+                state, _ = runner.train(state, run_cfg, sac_cfg)
+            return state
+
+        step = jax.jit(jax.vmap(member), donate_argnums=(0,))
+        fn = lambda s: step(s, env_params)
+    else:
+        raise ValueError(mode)
+
+    per_call, _ = _time_marginal(fn, states, n_lo, n_hi)
+    per_super_step = per_call / steps_per_call
+    env_steps = n_teachers * envs_per_teacher * rollout_length
+    # a 30.7M-env-steps/teacher wave needs this many super-steps:
+    wave_super_steps = 30.7e6 / (envs_per_teacher * rollout_length)
+    return {
+        "variant": name,
+        "mode": mode,
+        "teachers": n_teachers,
+        "envs_per_teacher": envs_per_teacher,
+        "rollout_length": rollout_length,
+        "gradient_steps": gradient_steps,
+        "batch_size": batch_size,
+        "steps_per_call": steps_per_call,
+        "s_per_super_step": per_super_step,
+        "env_steps_per_s": env_steps / per_super_step,
+        "teacher_env_steps_per_s_per_teacher": (
+            envs_per_teacher * rollout_length / per_super_step
+        ),
+        "wave_30M_wall_clock_h": per_super_step * wave_super_steps / 3600,
+        "teachers_per_hour_at_30M": (
+            n_teachers / (per_super_step * wave_super_steps / 3600)
+        ),
+    }
+
+
+VARIANTS = [
+    ("k128_full", dict(n_teachers=128)),
+    ("k256_full", dict(n_teachers=256)),
+    ("k128_collect_only", dict(n_teachers=128, mode="collect")),
+    ("k128_train_only", dict(n_teachers=128, mode="train")),
+    # same sample-reuse ratio (batch x gsteps const), half the scan length
+    ("k128_batch512_g8", dict(n_teachers=128, batch_size=512,
+                              gradient_steps=8)),
+    ("k128_spc40", dict(n_teachers=128, steps_per_call=40)),
+]
+
+
+def main(argv=None):
+    from raptor_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default=None,
+                   help="comma-separated subset of variant names")
+    p.add_argument("--out", default=None, help="JSON report path")
+    args = p.parse_args(argv)
+
+    chosen = (
+        set(args.variants.split(",")) if args.variants else
+        {n for n, _ in VARIANTS}
+    )
+    rows = []
+    for name, kw in VARIANTS:
+        if name not in chosen:
+            continue
+        print(f"profiling {name} ...", flush=True)
+        try:
+            row = profile_variant(name, **kw)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            row = {"variant": name, "error": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    report = {"platform": jax.devices()[0].platform, "rows": rows}
+    full = {r["variant"]: r for r in rows if "s_per_super_step" in r}
+    if "k128_full" in full and "k256_full" in full:
+        report["k_scaling_cost_ratio"] = (
+            full["k256_full"]["s_per_super_step"]
+            / full["k128_full"]["s_per_super_step"]
+        )
+    if "k128_full" in full and "k128_collect_only" in full and \
+            "k128_train_only" in full:
+        t = full["k128_full"]["s_per_super_step"]
+        report["collect_share"] = (
+            full["k128_collect_only"]["s_per_super_step"] / t
+        )
+        report["train_share"] = (
+            full["k128_train_only"]["s_per_super_step"] / t
+        )
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()
