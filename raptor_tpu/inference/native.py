@@ -61,30 +61,35 @@ def build_firmware(policy_header_path: str, out_path: Optional[str] = None) -> s
     software-in-the-loop test can fly it against the simulator."""
     task_c = os.path.join(_FIRMWARE_DIR, "raptor_control_task.c")
     task_h = os.path.join(_FIRMWARE_DIR, "raptor_control_task.h")
-    tag = _content_tag(policy_header_path, _EXECUTOR_CPP, task_c, task_h)
+    platform_c = os.path.join(_FIRMWARE_DIR, "raptor_platform.c")
+    platform_h = os.path.join(_FIRMWARE_DIR, "raptor_platform.h")
+    tag = _content_tag(policy_header_path, _EXECUTOR_CPP, task_c, task_h,
+                       platform_c, platform_h)
     os.makedirs(_BUILD_DIR, exist_ok=True)
     so_path = out_path or os.path.join(_BUILD_DIR, f"libraptor_firmware_{tag}.so")
     if os.path.exists(so_path):
         return so_path
     obj_task = so_path + ".task.o"
+    obj_platform = so_path + ".platform.o"
     obj_exec = so_path + ".exec.o"
-    # the control task is firmware-grade C99 (-Os, static allocation only);
-    # the executor is C++17 carrying the policy blob
-    subprocess.run(
-        ["gcc", "-Os", "-std=c99", "-fPIC", "-I", _FIRMWARE_DIR,
-         "-c", task_c, "-o", obj_task],
-        check=True, capture_output=True,
-    )
+    # the control task + platform adapters are firmware-grade C99 (-Os,
+    # static allocation only); the executor is C++17 carrying the policy blob
+    for src, obj in ((task_c, obj_task), (platform_c, obj_platform)):
+        subprocess.run(
+            ["gcc", "-Os", "-std=c99", "-fPIC", "-I", _FIRMWARE_DIR,
+             "-c", src, "-o", obj],
+            check=True, capture_output=True,
+        )
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-fPIC", "-include", policy_header_path,
          "-c", _EXECUTOR_CPP, "-o", obj_exec],
         check=True, capture_output=True,
     )
     subprocess.run(
-        ["g++", "-shared", obj_task, obj_exec, "-o", so_path],
+        ["g++", "-shared", obj_task, obj_platform, obj_exec, "-o", so_path],
         check=True, capture_output=True,
     )
-    for obj in (obj_task, obj_exec):
+    for obj in (obj_task, obj_platform, obj_exec):
         os.remove(obj)
     return so_path
 
@@ -133,6 +138,58 @@ class Firmware:
     @property
     def last_inference_status(self) -> int:
         return int(self.lib.raptor_fw_last_inference_status())
+
+
+class PlatformFirmware:
+    """ctypes wrapper over the platform-adapter layer (raptor_platform.h):
+    the reference's embedded_platforms/ integrations (PX4 / Betaflight /
+    Crazyflie / M5StampFly, reference README:107-110) driven SITL in each
+    platform's own frame/unit/motor conventions."""
+
+    PX4, BETAFLIGHT, CRAZYFLIE, M5STAMPFLY = 0, 1, 2, 3
+
+    def __init__(self, so_path: str, platform: int,
+                 skip_self_test: bool = False):
+        self.lib = ctypes.CDLL(so_path)
+        self.lib.raptor_platform_boot.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.raptor_platform_boot.restype = ctypes.c_int
+        self.lib.raptor_platform_step.argtypes = [
+            ctypes.c_uint64] + [ctypes.POINTER(ctypes.c_float)] * 5
+        self.lib.raptor_platform_step.restype = ctypes.c_int
+        self.lib.raptor_platform_is_armed.restype = ctypes.c_int
+        self.boot_status = self.lib.raptor_platform_boot(
+            platform, 1 if skip_self_test else 0
+        )
+
+    def arm(self):
+        self.lib.raptor_platform_arm()
+
+    def disarm(self):
+        self.lib.raptor_platform_disarm()
+
+    @property
+    def armed(self) -> bool:
+        return bool(self.lib.raptor_platform_is_armed())
+
+    def step(
+        self,
+        time_us: int,
+        position: np.ndarray,
+        quat: np.ndarray,
+        velocity: np.ndarray,
+        gyro: np.ndarray,
+    ) -> tuple[np.ndarray, int]:
+        """One call in the PLATFORM's conventions; returns ([4] motor
+        outputs in the platform's range/order, status)."""
+        fp = ctypes.POINTER(ctypes.c_float)
+        arrs = [np.ascontiguousarray(a, np.float32)
+                for a in (position, quat, velocity, gyro)]
+        motor = np.zeros(4, np.float32)
+        status = self.lib.raptor_platform_step(
+            int(time_us), *(a.ctypes.data_as(fp) for a in arrs),
+            motor.ctypes.data_as(fp),
+        )
+        return motor, status
 
 
 class NativeExecutor:
