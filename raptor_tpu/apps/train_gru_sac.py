@@ -39,10 +39,24 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--eval-max-angle", type=float, default=0.0,
+                   help="eval-parity InitConfig.max_angle for the "
+                        "evaluation/* tags (0 = training init) — use 1.0 "
+                        "for numbers comparable with the reference log "
+                        "(apps/eval_parity.py protocol)")
     p.add_argument("--experiments-dir", default="experiments")
     args = p.parse_args(argv)
 
     env = L2F(EnvConfig())
+    if args.eval_max_angle > 0:
+        import dataclasses as _dc
+
+        from raptor_tpu.env.types import eval_parity_init
+
+        eval_env = L2F(EnvConfig(init=_dc.replace(
+            eval_parity_init(), max_angle=args.eval_max_angle)))
+    else:
+        eval_env = env
     run_cfg = runner_gru.GRURunnerConfig(
         n_envs=args.n_envs,
         rollout_length=args.rollout_length,
@@ -78,7 +92,7 @@ def main(argv=None):
         p_eval = sample_population(jax.random.fold_in(k_eval, 0), m)
         sf = sac_gru.recurrent_actor_step(learner.actor, cfg)
         stats = evaluation.evaluate(
-            env,
+            eval_env,
             p_eval,
             lambda h, o: sf(h, o[..., : run_cfg.actor_obs_dim]),
             gru_net.initial_hidden(learner.actor, m),
