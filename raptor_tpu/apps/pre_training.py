@@ -83,6 +83,11 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="super-steps batched per jitted dispatch (amortizes "
                         "per-call latency; logging cadence coarsens)")
+    p.add_argument("--unroll-inner", action="store_true",
+                   help="Python-unroll the batched super-steps instead of "
+                        "lax.scan (avoids the scan carry's replay-ring "
+                        "double-buffer copy; ~steps-per-call x longer "
+                        "one-time compile)")
     p.add_argument("--replay-capacity", type=int, default=4096,
                    help="replay ring rows per teacher (HBM: K x cap x envs "
                         "x ~68 floats)")
@@ -122,7 +127,8 @@ def main(argv=None):
     warmup = population.make_population_warmup(env, run_cfg)
     if args.steps_per_call > 1:
         super_step = population.make_population_multi_step(
-            env, run_cfg, sac_cfg, args.steps_per_call
+            env, run_cfg, sac_cfg, args.steps_per_call,
+            unroll=args.unroll_inner,
         )
     else:
         super_step = population.make_population_super_step(env, run_cfg, sac_cfg)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -61,6 +62,7 @@ def profile_variant(
     replay_capacity: int = 1536,
     steps_per_call: int = 10,
     mode: str = "full",  # full | collect | train
+    unroll: bool = False,
     n_lo: int = 1,
     n_hi: int = 4,
 ) -> dict:
@@ -90,7 +92,7 @@ def profile_variant(
 
     if mode == "full":
         step = population.make_population_multi_step(
-            env, run_cfg, sac_cfg, steps_per_call
+            env, run_cfg, sac_cfg, steps_per_call, unroll=unroll
         )
         fn = lambda s: step(s, env_params)[0]
     elif mode == "collect":
@@ -140,6 +142,54 @@ def profile_variant(
     }
 
 
+def count_flops(
+    n_teachers: int = 2,
+    envs_per_teacher: int = 32,
+    rollout_length: int = 16,
+    gradient_steps: int = 16,
+    batch_size: int = 256,
+    replay_capacity: int = 1536,
+) -> dict:
+    """Exact per-super-step FLOP count from XLA's cost analysis (platform
+    independent; vmap FLOPs scale exactly linearly in K, so count at a tiny
+    K and scale). Used to place the measured s_per_super_step on the
+    roofline (artifacts/roofline.json: measured VPU f32 peak 4.51 TF/s,
+    MXU bf16 is ~40x that)."""
+    from raptor_tpu.distill import population
+    from raptor_tpu.env import EnvConfig, L2F
+    from raptor_tpu.rl import sac
+
+    env = L2F(EnvConfig())
+    pop_cfg = population.PopulationConfig(
+        n_teachers=n_teachers,
+        envs_per_teacher=envs_per_teacher,
+        rollout_length=rollout_length,
+        gradient_steps=gradient_steps,
+        batch_size=batch_size,
+        replay_capacity=replay_capacity,
+        warmup_super_steps=1,
+    )
+    sac_cfg = sac.SACConfig()
+    airframes = population.sample_teacher_airframes(
+        jax.random.key(0), n_teachers
+    )
+    states, env_params, run_cfg = population.population_init(
+        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    )
+    step = population.make_population_super_step(env, run_cfg, sac_cfg)
+    compiled = step.lower(states, env_params).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+    return {
+        "teachers_counted": n_teachers,
+        "flops_per_super_step": flops,
+        "flops_per_super_step_per_teacher": flops / n_teachers,
+        "bytes_accessed_per_teacher": float(cost.get("bytes accessed", 0.0))
+        / n_teachers,
+    }
+
+
 VARIANTS = [
     ("k128_full", dict(n_teachers=128)),
     ("k256_full", dict(n_teachers=256)),
@@ -149,6 +199,9 @@ VARIANTS = [
     ("k128_batch512_g8", dict(n_teachers=128, batch_size=512,
                               gradient_steps=8)),
     ("k128_spc40", dict(n_teachers=128, steps_per_call=40)),
+    # inner loop unrolled: does killing the scan carry's replay-ring
+    # double-buffering recover the 38% full-vs-parts overhead?
+    ("k128_unroll10", dict(n_teachers=128, unroll=True)),
 ]
 
 
@@ -159,8 +212,34 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default=None,
                    help="comma-separated subset of variant names")
+    p.add_argument("--flops-only", action="store_true",
+                   help="only run the XLA cost-analysis FLOP count "
+                        "(platform independent — safe on CPU while the "
+                        "TPU is busy) and merge it into --out if present")
     p.add_argument("--out", default=None, help="JSON report path")
     args = p.parse_args(argv)
+
+    if args.flops_only:
+        flops = count_flops()
+        report = {}
+        if args.out and os.path.exists(args.out):
+            with open(args.out) as f:
+                report = json.load(f)
+        report["flops"] = flops
+        # roofline placement for every timed full-mode row present
+        peak_vpu = 4.51e12  # measured, artifacts/roofline.json
+        for r in report.get("rows", []):
+            if r.get("mode") == "full" and "s_per_super_step" in r:
+                total = flops["flops_per_super_step_per_teacher"] * r["teachers"]
+                r["achieved_tflops"] = total / r["s_per_super_step"] / 1e12
+                r["vpu_f32_roofline_fraction"] = (
+                    total / r["s_per_super_step"] / peak_vpu
+                )
+        print(json.dumps(report, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+        return report
 
     chosen = (
         set(args.variants.split(",")) if args.variants else

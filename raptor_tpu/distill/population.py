@@ -102,12 +102,23 @@ def make_population_multi_step(
     run_cfg: runner.RunnerConfig,
     sac_cfg: sac.SACConfig,
     n_inner: int,
+    unroll: bool = False,
 ):
-    """`n_inner` population super-steps inside ONE jitted call (lax.scan).
+    """`n_inner` population super-steps inside ONE jitted call.
 
     Per-call dispatch latency (tens of ms through a remote-device tunnel)
     dominates small super-steps; batching amortizes it n_inner-fold. Returns
-    the metrics of the last inner step."""
+    the metrics of the last inner step.
+
+    unroll=True Python-unrolls the inner loop instead of carrying the
+    trainer state through a lax.scan: a scan carry containing the replay
+    ring ([K, capacity, N, 68] — ~1.7 GB at K=128) is double-buffered by
+    XLA's while-loop copy insertion, costing a full HBM copy per inner
+    step (suspected cause of the 38% full-vs-parts overhead measured in
+    artifacts/profile_pretraining.json); unrolled, the buffer updates can
+    alias in place. Compile time grows ~n_inner-fold (one-time, cached).
+    Default False until the TPU profile validates the win
+    (profile_pretraining variant k128_unroll10)."""
 
     def member_step(state, params):
         state = runner.collect(state, env, params, run_cfg)
@@ -116,13 +127,22 @@ def make_population_multi_step(
 
     v_step = jax.vmap(member_step)
 
-    def multi(states, env_params):
-        def body(states, _):
-            states, metrics = v_step(states, env_params)
-            return states, None
+    if unroll:
 
-        states, _ = jax.lax.scan(body, states, None, length=n_inner - 1)
-        return v_step(states, env_params)
+        def multi(states, env_params):
+            for _ in range(n_inner):
+                states, metrics = v_step(states, env_params)
+            return states, metrics
+
+    else:
+
+        def multi(states, env_params):
+            def body(states, _):
+                states, metrics = v_step(states, env_params)
+                return states, None
+
+            states, _ = jax.lax.scan(body, states, None, length=n_inner - 1)
+            return v_step(states, env_params)
 
     return jax.jit(multi, donate_argnums=(0,))
 

@@ -294,17 +294,25 @@ def test_population_multi_step_equivalence(env):
     )
     single = population.make_population_super_step(env, run_cfg, sac_cfg)
     multi = population.make_population_multi_step(env, run_cfg, sac_cfg, 3)
+    multi_unrolled = population.make_population_multi_step(
+        env, run_cfg, sac_cfg, 3, unroll=True
+    )
 
-    # real buffer copy: both paths donate their inputs
+    # real buffer copies: all paths donate their inputs
     s_a = jax.tree.map(jnp.copy, states)
+    s_c = jax.tree.map(jnp.copy, states)
     for _ in range(3):
         s_a, m_a = single(s_a, env_params)
     s_b, m_b = multi(states, env_params)
-    assert np.allclose(
-        np.asarray(m_a.critic_loss), np.asarray(m_b.critic_loss), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(jax.tree.leaves(s_a.sac.actor)[0]),
-        np.asarray(jax.tree.leaves(s_b.sac.actor)[0]),
-        atol=1e-6,
-    )
+    s_c, m_c = multi_unrolled(s_c, env_params)
+    for m_x in (m_b, m_c):
+        assert np.allclose(
+            np.asarray(m_a.critic_loss), np.asarray(m_x.critic_loss),
+            atol=1e-5,
+        )
+    for s_x in (s_b, s_c):
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(s_a.sac.actor)[0]),
+            np.asarray(jax.tree.leaves(s_x.sac.actor)[0]),
+            atol=1e-6,
+        )
