@@ -94,6 +94,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every", type=int, default=20)
+    p.add_argument("--log-every", type=int, default=10,
+                   help="pull training metrics to host every N dispatches. "
+                        "Each pull is 3 device->host RPCs through the "
+                        "remote-device tunnel that force a sync and break "
+                        "dispatch pipelining — measured 2.14 s/dispatch "
+                        "with per-dispatch pulls vs 0.92 s compute "
+                        "(wave seed 900, round 3)")
     p.add_argument("--checkpoint-every", type=int, default=500,
                    help="also export the full teacher population every N "
                         "super-steps (overwrites in place) so a hung or "
@@ -158,14 +165,15 @@ def main(argv=None):
     for i in range(args.super_steps):
         states, metrics = super_step(states, env_params)
         step = (i + 1) * env_steps_per
-        run.log(
-            {
-                "critic_loss/mean": float(np.mean(np.asarray(metrics.critic_loss))),
-                "actor_loss/mean": float(np.mean(np.asarray(metrics.actor_loss))),
-                "alpha/mean": float(np.mean(np.asarray(metrics.alpha))),
-            },
-            step,
-        )
+        if args.log_every and (i + 1) % args.log_every == 0:
+            run.log(
+                {
+                    "critic_loss/mean": float(np.mean(np.asarray(metrics.critic_loss))),
+                    "actor_loss/mean": float(np.mean(np.asarray(metrics.actor_loss))),
+                    "alpha/mean": float(np.mean(np.asarray(metrics.alpha))),
+                },
+                step,
+            )
         if args.eval_every and (i + 1) % args.eval_every == 0:
             stats = evaluator(
                 states.sac, airframes, jax.random.split(k_eval, n_teachers)
