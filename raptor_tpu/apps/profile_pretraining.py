@@ -143,50 +143,69 @@ def profile_variant(
 
 
 def count_flops(
-    n_teachers: int = 2,
     envs_per_teacher: int = 32,
     rollout_length: int = 16,
     gradient_steps: int = 16,
     batch_size: int = 256,
-    replay_capacity: int = 1536,
 ) -> dict:
-    """Exact per-super-step FLOP count from XLA's cost analysis (platform
-    independent; vmap FLOPs scale exactly linearly in K, so count at a tiny
-    K and scale). Used to place the measured s_per_super_step on the
-    roofline (artifacts/roofline.json: measured VPU f32 peak 4.51 TF/s,
-    MXU bf16 is ~40x that)."""
-    from raptor_tpu.distill import population
-    from raptor_tpu.env import EnvConfig, L2F
-    from raptor_tpu.rl import sac
+    """Per-super-step FLOP count per teacher from XLA's cost analysis.
+
+    XLA counts a lax.scan body ONCE regardless of trip count (verified:
+    gradient_steps 1 vs 16 report identical flops), so the super-step
+    cannot be counted whole. Instead the two scan-free bodies — one SAC
+    gradient update and one (actor-sample + env.step) collect step — are
+    lowered and counted directly, then scaled by their trip counts
+    analytically. vmap FLOPs scale exactly linearly in K. Used to place
+    the measured s_per_super_step on the roofline (artifacts/
+    roofline.json: measured VPU f32 peak 4.51 TF/s)."""
+    from raptor_tpu.env import EnvConfig, L2F, sample_population
+    from raptor_tpu.rl import networks, sac
 
     env = L2F(EnvConfig())
-    pop_cfg = population.PopulationConfig(
-        n_teachers=n_teachers,
-        envs_per_teacher=envs_per_teacher,
-        rollout_length=rollout_length,
-        gradient_steps=gradient_steps,
-        batch_size=batch_size,
-        replay_capacity=replay_capacity,
-        warmup_super_steps=1,
-    )
     sac_cfg = sac.SACConfig()
-    airframes = population.sample_teacher_airframes(
-        jax.random.key(0), n_teachers
+    obs_dim, act_dim = env.OBSERVATION_DIM, env.ACTION_DIM
+    state = sac.sac_init(jax.random.key(0), obs_dim, act_dim, sac_cfg)
+
+    def _flops(fn, *args):
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get("flops", 0.0))
+
+    batch = (
+        jnp.zeros((batch_size, obs_dim)),
+        jnp.zeros((batch_size, act_dim)),
+        jnp.zeros((batch_size,)),
+        jnp.zeros((batch_size, obs_dim)),
+        jnp.zeros((batch_size,)),
     )
-    states, env_params, run_cfg = population.population_init(
-        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    grad_flops = _flops(
+        lambda s, k, b: sac.sac_update(s, k, b, sac_cfg),
+        state, jax.random.key(1), batch,
     )
-    step = population.make_population_super_step(env, run_cfg, sac_cfg)
-    compiled = step.lower(states, env_params).compile()
-    cost = compiled.cost_analysis()
-    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops = float(cost.get("flops", 0.0))
+
+    params = sample_population(jax.random.key(2), envs_per_teacher)
+    _, v_step = env.vector_ops()
+    es, obs0 = jax.jit(jax.vmap(env.reset, in_axes=(0, 0)))(
+        jax.random.split(jax.random.key(3), envs_per_teacher), params
+    )
+
+    def collect_step(actor, key, es, obs):
+        action, _ = networks.actor_sample(actor, key, obs)
+        return v_step(params, es, action)
+
+    collect_flops = _flops(
+        collect_step, state.actor, jax.random.key(4), es, obs0
+    )
+
+    per_teacher = (
+        gradient_steps * grad_flops + rollout_length * collect_flops
+    )
     return {
-        "teachers_counted": n_teachers,
-        "flops_per_super_step": flops,
-        "flops_per_super_step_per_teacher": flops / n_teachers,
-        "bytes_accessed_per_teacher": float(cost.get("bytes accessed", 0.0))
-        / n_teachers,
+        "grad_step_flops": grad_flops,
+        "collect_step_flops": collect_flops,
+        "gradient_steps": gradient_steps,
+        "rollout_length": rollout_length,
+        "flops_per_super_step_per_teacher": per_teacher,
     }
 
 
