@@ -42,9 +42,14 @@ def test_full_pipeline(tmp_path):
     actor = ckpt_h5.load_mlp_actor(teacher_ckpts[0])
     assert len(actor["layers"]) == 3
 
-    # 3. post-train (distill) into the GRU student
+    # 3. post-train (distill) into the GRU student — through the round-3
+    # recipe surface: per-round teacher subsampling, obs standardization
+    # (folded on export), loss diagnostics, aggregated DAgger reservoir
     student_path = post_app.main(
-        [manifest, "--rounds", "2", "--envs-per-teacher", "4",
+        [manifest, "--rounds", "3", "--envs-per-teacher", "4",
+         "--teachers-per-round", "2", "--standardize", "--diagnostics",
+         "--aggregate-capacity", "16", "--grad-steps-per-round", "4",
+         "--batch-size", "4",
          "--eval-every-rounds", "1", "--experiments-dir", "experiments"]
     )
     assert os.path.exists(student_path)
@@ -63,6 +68,8 @@ def test_full_pipeline(tmp_path):
     assert "loss" in out and len(out["loss"]) >= 2
     assert "evaluation/return/mean" in out
     assert "crazyflie/return/mean" in out
+    assert "diagnostics/loss_fresh" in out
+    assert "diagnostics/teacher_disagreement" in out
     assert np.isfinite([v for _, v in out["loss"]]).all()
 
     # 6. config snapshots exist (extrack contract)
