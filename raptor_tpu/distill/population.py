@@ -102,7 +102,7 @@ def make_population_multi_step(
     run_cfg: runner.RunnerConfig,
     sac_cfg: sac.SACConfig,
     n_inner: int,
-    unroll: bool = False,
+    unroll: bool = True,
 ):
     """`n_inner` population super-steps inside ONE jitted call.
 
@@ -114,11 +114,10 @@ def make_population_multi_step(
     trainer state through a lax.scan: a scan carry containing the replay
     ring ([K, capacity, N, 68] — ~1.7 GB at K=128) is double-buffered by
     XLA's while-loop copy insertion, costing a full HBM copy per inner
-    step (suspected cause of the 38% full-vs-parts overhead measured in
-    artifacts/profile_pretraining.json); unrolled, the buffer updates can
-    alias in place. Compile time grows ~n_inner-fold (one-time, cached).
-    Default False until the TPU profile validates the win
-    (profile_pretraining variant k128_unroll10)."""
+    step; unrolled, the buffer updates can alias in place. Compile time
+    grows ~n_inner-fold (one-time, cached). Measured on TPU v5e
+    (artifacts/profile_unroll.json): 0.0915 -> 0.0692 s/super-step at
+    K=128 x 10 inner = 1.32x — default True."""
 
     def member_step(state, params):
         state = runner.collect(state, env, params, run_cfg)
