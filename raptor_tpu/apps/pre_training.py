@@ -104,6 +104,20 @@ def main(argv=None):
                         "dispatch pipelining — measured 2.14 s/dispatch "
                         "with per-dispatch pulls vs 0.92 s compute "
                         "(wave seed 900, round 3)")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="learner matmul dtype: bfloat16 runs actor/critic "
+                        "matmuls (fwd+bwd) on the MXU with f32 accumulation "
+                        "(master weights/optimizer stay f32); default exact "
+                        "f32")
+    p.add_argument("--stack-critics", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="twin critics as one batched matmul per layer "
+                        "(numerically identical, fewer ops)")
+    p.add_argument("--flat-optim", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="optax.flatten the adam states (identical math, one "
+                        "fused vector op instead of per-leaf ops)")
     p.add_argument("--checkpoint-every", type=int, default=500,
                    help="also export the full teacher population every N "
                         "super-steps (overwrites in place) so a hung or "
@@ -130,7 +144,11 @@ def main(argv=None):
         envs_per_teacher=args.envs_per_teacher,
         replay_capacity=args.replay_capacity,
     )
-    sac_cfg = sac.SACConfig()
+    sac_cfg = sac.SACConfig(
+        compute_dtype=args.compute_dtype,
+        stack_critics=args.stack_critics,
+        flat_optim=args.flat_optim,
+    )
     states, env_params, run_cfg = population.population_init(
         k_init, env, airframes, pop_cfg, sac_cfg
     )

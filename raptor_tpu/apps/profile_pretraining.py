@@ -65,6 +65,7 @@ def profile_variant(
     unroll: bool = False,
     n_lo: int = 1,
     n_hi: int = 4,
+    sac_kwargs: dict | None = None,
 ) -> dict:
     from raptor_tpu.distill import population
     from raptor_tpu.env import EnvConfig, L2F
@@ -80,7 +81,7 @@ def profile_variant(
         replay_capacity=replay_capacity,
         warmup_super_steps=1,
     )
-    sac_cfg = sac.SACConfig()
+    sac_cfg = sac.SACConfig(**(sac_kwargs or {}))
     airframes = population.sample_teacher_airframes(
         jax.random.key(0), n_teachers
     )
@@ -221,6 +222,20 @@ VARIANTS = [
     # inner loop unrolled: does killing the scan carry's replay-ring
     # double-buffering recover the 38% full-vs-parts overhead?
     ("k128_unroll10", dict(n_teachers=128, unroll=True)),
+    # --- round-4 learner fast path (VERDICT r3 weak #1) ---
+    # bf16/MXU matmuls alone
+    ("k128_bf16_unroll10", dict(
+        n_teachers=128, unroll=True,
+        sac_kwargs=dict(compute_dtype="bfloat16"))),
+    # op-count reducers alone (numerically identical to f32 baseline)
+    ("k128_stackflat_unroll10", dict(
+        n_teachers=128, unroll=True,
+        sac_kwargs=dict(stack_critics=True, flat_optim=True))),
+    # everything on — the candidate production config
+    ("k128_fastpath_unroll10", dict(
+        n_teachers=128, unroll=True,
+        sac_kwargs=dict(compute_dtype="bfloat16", stack_critics=True,
+                        flat_optim=True))),
 ]
 
 

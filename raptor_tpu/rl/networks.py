@@ -12,7 +12,8 @@ Everything is a plain dict pytree; apply fns are pure. Matmuls are batched
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,50 @@ Params = Dict[str, Any]
 
 LOG_STD_MIN = -10.0
 LOG_STD_MAX = 2.0
+
+
+# ---------------------------------------------------------------------------
+# low-precision matmul: bf16 operands / f32 accumulation on the MXU, forward
+# AND backward. Master weights stay f32; grads come back f32. This is the
+# mixed-precision recipe for putting the tiny SAC learner matmuls — 94% of a
+# flagship run's TPU time ran them as f32 VPU code at 26% of the VPU roofline
+# (artifacts/profile_pretraining.json, VERDICT r3 weak #1) — onto the MXU.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def matmul_lp(dtype, x, w):
+    """x @ w with both operands cast to `dtype` (e.g. bf16) and f32
+    accumulation. Differentiable; the backward matmuls also run in `dtype`.
+    x: [..., B, I], w: [..., I, O] with identical leading batch dims."""
+    return jnp.matmul(
+        x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
+    )
+
+
+def _matmul_lp_fwd(dtype, x, w):
+    xd, wd = x.astype(dtype), w.astype(dtype)
+    y = jnp.matmul(xd, wd, preferred_element_type=jnp.float32)
+    return y, (xd, wd)
+
+
+def _matmul_lp_bwd(dtype, res, g):
+    xd, wd = res
+    gd = g.astype(dtype)
+    dx = jnp.matmul(
+        gd, jnp.swapaxes(wd, -1, -2), preferred_element_type=jnp.float32
+    )
+    dw = jnp.matmul(
+        jnp.swapaxes(xd, -1, -2), gd, preferred_element_type=jnp.float32
+    )
+    return dx, dw
+
+
+matmul_lp.defvjp(_matmul_lp_fwd, _matmul_lp_bwd)
+
+
+def _dot(x, w, dtype: Optional[Any]):
+    return x @ w if dtype is None else matmul_lp(dtype, x, w)
 
 
 def _dense_init(key, in_dim: int, out_dim: int, scale: float = 1.0):
@@ -42,12 +87,16 @@ def mlp_init(key, dims: Sequence[int], final_scale: float = 1.0) -> Params:
     return {"layers": layers}
 
 
-def mlp_apply(params: Params, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
+def mlp_apply(
+    params: Params, x: jnp.ndarray, activation=jax.nn.relu, dtype=None
+) -> jnp.ndarray:
+    """dtype=None: exact f32 (deployment/eval path). dtype=bf16: matmuls run
+    on the MXU with f32 accumulation (training fast path; quality-gated)."""
     layers = params["layers"]
     for layer in layers[:-1]:
-        x = activation(x @ layer["w"] + layer["b"])
+        x = activation(_dot(x, layer["w"], dtype) + layer["b"])
     last = layers[-1]
-    return x @ last["w"] + last["b"]
+    return _dot(x, last["w"], dtype) + last["b"]
 
 
 # ---------------------------------------------------------------------------
@@ -96,8 +145,10 @@ def actor_init(key, obs_dim: int, action_dim: int, hidden: Sequence[int] = (64, 
     return mlp_init(key, [obs_dim, *hidden, 2 * action_dim], final_scale=0.01)
 
 
-def actor_dist(params: Params, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    out = mlp_apply(params, obs)
+def actor_dist(
+    params: Params, obs: jnp.ndarray, dtype=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    out = mlp_apply(params, obs, dtype=dtype)
     mu, log_std = jnp.split(out, 2, axis=-1)
     log_std = jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX)
     return mu, log_std
@@ -124,8 +175,8 @@ def sample_and_squash(
     return action, log_prob
 
 
-def actor_sample(params: Params, key, obs: jnp.ndarray):
-    mu, log_std = actor_dist(params, obs)
+def actor_sample(params: Params, key, obs: jnp.ndarray, dtype=None):
+    mu, log_std = actor_dist(params, obs, dtype=dtype)
     return sample_and_squash(key, mu, log_std)
 
 
@@ -146,8 +197,28 @@ def critic_init(key, obs_dim: int, action_dim: int, hidden: Sequence[int] = (64,
     return {"q1": mlp_init(k1, dims), "q2": mlp_init(k2, dims)}
 
 
-def critic_apply(params: Params, obs: jnp.ndarray, action: jnp.ndarray):
+def critic_apply(
+    params: Params,
+    obs: jnp.ndarray,
+    action: jnp.ndarray,
+    dtype=None,
+    stacked: bool = False,
+):
+    """Twin Q values. stacked=True executes q1/q2 as ONE batched matmul per
+    layer ([2, B, I] @ [2, I, O]) — numerically identical, half the op count
+    (the population learner is small-op-bound, not FLOP-bound)."""
     x = jnp.concatenate([obs, action], axis=-1)
-    q1 = mlp_apply(params["q1"], x)[..., 0]
-    q2 = mlp_apply(params["q2"], x)[..., 0]
-    return q1, q2
+    if not stacked:
+        q1 = mlp_apply(params["q1"], x, dtype=dtype)[..., 0]
+        q2 = mlp_apply(params["q2"], x, dtype=dtype)[..., 0]
+        return q1, q2
+    l1, l2 = params["q1"]["layers"], params["q2"]["layers"]
+    h = jnp.broadcast_to(x, (2,) + x.shape)
+    n_layers = len(l1)
+    for i in range(n_layers):
+        w = jnp.stack([l1[i]["w"], l2[i]["w"]])
+        b = jnp.stack([l1[i]["b"], l2[i]["b"]])[:, None, :]
+        h = _dot(h, w, dtype) + b
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+    return h[0, ..., 0], h[1, ..., 0]
