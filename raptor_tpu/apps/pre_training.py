@@ -118,6 +118,13 @@ def main(argv=None):
                    default=False,
                    help="optax.flatten the adam states (identical math, one "
                         "fused vector op instead of per-leaf ops)")
+    p.add_argument("--sample-rows", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="row-contiguous replay sampling: minibatch = "
+                        "batch/n_envs random whole time rows instead of "
+                        "scattered (t, e) gathers (measured ~88%% of the "
+                        "train phase); see replay."
+                        "transition_buffer_sample_rows")
     p.add_argument("--checkpoint-every", type=int, default=500,
                    help="also export the full teacher population every N "
                         "super-steps (overwrites in place) so a hung or "
@@ -143,6 +150,7 @@ def main(argv=None):
         n_teachers=n_teachers,
         envs_per_teacher=args.envs_per_teacher,
         replay_capacity=args.replay_capacity,
+        sample_rows=args.sample_rows,
     )
     sac_cfg = sac.SACConfig(
         compute_dtype=args.compute_dtype,

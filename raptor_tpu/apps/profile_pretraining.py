@@ -63,6 +63,7 @@ def profile_variant(
     steps_per_call: int = 10,
     mode: str = "full",  # full | collect | train
     unroll: bool = False,
+    sample_rows: bool = False,
     n_lo: int = 1,
     n_hi: int = 4,
     sac_kwargs: dict | None = None,
@@ -80,6 +81,7 @@ def profile_variant(
         batch_size=batch_size,
         replay_capacity=replay_capacity,
         warmup_super_steps=1,
+        sample_rows=sample_rows,
     )
     sac_cfg = sac.SACConfig(**(sac_kwargs or {}))
     airframes = population.sample_teacher_airframes(
@@ -236,6 +238,16 @@ VARIANTS = [
         n_teachers=128, unroll=True,
         sac_kwargs=dict(compute_dtype="bfloat16", stack_critics=True,
                         flat_optim=True))),
+    # --- round-4 sampling fix: the probe measured the random (t, e)
+    # replay gather at ~88% of the train phase (sample_only_16 =
+    # 0.047 s of the 0.053 s train-only super-step). Row-contiguous
+    # sampling replaces 256 element gathers with 8 row slices.
+    ("k128_rowsample_unroll10", dict(
+        n_teachers=128, unroll=True, sample_rows=True)),
+    # rows + the op-count reducers (candidate production config v2)
+    ("k128_rowsample_fastpath_unroll10", dict(
+        n_teachers=128, unroll=True, sample_rows=True,
+        sac_kwargs=dict(stack_critics=True, flat_optim=True))),
 ]
 
 

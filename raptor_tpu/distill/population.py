@@ -33,6 +33,7 @@ class PopulationConfig:
     batch_size: int = 256
     replay_capacity: int = 4096
     warmup_super_steps: int = 8
+    sample_rows: bool = False  # row-contiguous replay sampling (see replay.py)
 
 
 def sample_teacher_airframes(
@@ -73,6 +74,7 @@ def population_init(
         gradient_steps=pop_cfg.gradient_steps,
         batch_size=pop_cfg.batch_size,
         replay_capacity=pop_cfg.replay_capacity,
+        sample_rows=pop_cfg.sample_rows,
     )
     env_params = broadcast_airframe_to_envs(airframes, pop_cfg.envs_per_teacher)
     keys = jax.random.split(key, pop_cfg.n_teachers)

@@ -125,6 +125,43 @@ def transition_buffer_sample(
     )
 
 
+def transition_buffer_sample_rows(
+    buf: TransitionBuffer, key: jax.Array, batch_size: int
+) -> Tuple[jnp.ndarray, ...]:
+    """Row-contiguous minibatch: sample `batch_size / n_envs` whole time
+    rows (all envs of each row) instead of scattered (time, env) pairs.
+
+    Rationale (measured, TPU v5e): the uniform sampler's random (t, e)
+    gather is ~88% of the population train phase — 256 per-element
+    gathers per minibatch run at the chip's slow scatter/gather rate.
+    A whole row is a contiguous [n_envs, d] block, so this sampler is
+    `rows` dynamic slices instead of `batch` element gathers. The envs
+    within a row are independent trajectories (separate env instances),
+    so in-batch correlation is across-time only: samples share at most
+    `rows` distinct timesteps per batch. Quality-gated against the
+    uniform sampler at the 30.7M-step wave budget (equal teacher return)
+    before becoming a default; see artifacts/profile_fastpath.json.
+    """
+    rows, rem = divmod(batch_size, buf.n_envs)
+    if rem or rows < 1:
+        raise ValueError(
+            f"batch_size {batch_size} must be a positive multiple of "
+            f"n_envs {buf.n_envs} for row sampling"
+        )
+    t_idx = jax.random.randint(key, (rows,), 0, jnp.maximum(buf.size, 1))
+
+    def take(arr):
+        return arr[t_idx].reshape((batch_size,) + arr.shape[2:])
+
+    return (
+        take(buf.obs),
+        take(buf.action),
+        take(buf.reward),
+        take(buf.next_obs),
+        take(buf.done),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence replay (GRU / BPTT)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,10 @@ class RunnerConfig:
     batch_size: int = 256
     replay_capacity: int = 4096  # time rows (x n_envs transitions)
     actor_obs_dim: int | None = None  # policy sees obs[:, :this]; None = full
+    # Row-contiguous replay sampling (batch = random whole time rows):
+    # ~whole-train-phase speedup on TPU vs the (t, e) gather — see
+    # replay.transition_buffer_sample_rows for the measured rationale.
+    sample_rows: bool = False
 
 
 class TrainerState(struct.PyTreeNode):
@@ -116,10 +120,16 @@ def train_steps(run_cfg, update, buffer, learner, key):
     apply `update: (learner, key, batch) -> (learner, metrics)`.
     Returns (learner, key, last_metrics)."""
 
+    sample = (
+        replay.transition_buffer_sample_rows
+        if run_cfg.sample_rows
+        else replay.transition_buffer_sample
+    )
+
     def body(carry, _):
         learner, key = carry
         key, k_sample, k_update = jax.random.split(key, 3)
-        obs, action, reward, next_obs, done = replay.transition_buffer_sample(
+        obs, action, reward, next_obs, done = sample(
             buffer, k_sample, run_cfg.batch_size
         )
         batch = (

@@ -48,6 +48,42 @@ def test_sampling_respects_fill_level():
     np.testing.assert_array_equal(np.asarray(obs), np.ones((256, 2)))
 
 
+def test_row_sampling_respects_fill_level_and_pairs_rows():
+    buf = replay.transition_buffer_init(capacity=100, n_envs=4, obs_dim=2, action_dim=1)
+    # row t has obs == t, env e has action == e (to check row/env pairing)
+    t_vals = jnp.arange(7, dtype=jnp.float32)
+    obs = jnp.tile(t_vals[:, None, None], (1, 4, 2))
+    act = jnp.tile(jnp.arange(4, dtype=jnp.float32)[None, :, None], (7, 1, 1))
+    buf = replay.transition_buffer_add_rollout(
+        buf, obs, act, jnp.ones((7, 4)), obs + 0.5, jnp.zeros((7, 4))
+    )
+    o, a, r, no, d = replay.transition_buffer_sample_rows(
+        buf, jax.random.key(0), 64
+    )
+    assert o.shape == (64, 2) and a.shape == (64, 1)
+    o_np, a_np, no_np = np.asarray(o), np.asarray(a), np.asarray(no)
+    # only filled rows sampled
+    assert o_np.min() >= 0.0 and o_np.max() <= 6.0
+    # each group of n_envs consecutive samples is one whole time row ...
+    groups = o_np[:, 0].reshape(16, 4)
+    np.testing.assert_array_equal(groups, groups[:, :1].repeat(4, axis=1))
+    # ... covering all envs in order, with fields staying paired
+    np.testing.assert_array_equal(
+        a_np[:, 0].reshape(16, 4), np.tile(np.arange(4.0), (16, 1))
+    )
+    np.testing.assert_allclose(no_np[:, 0], o_np[:, 0] + 0.5)
+    # multiple distinct rows get drawn
+    assert len(np.unique(groups[:, 0])) > 1
+
+
+def test_row_sampling_rejects_indivisible_batch():
+    buf = replay.transition_buffer_init(capacity=8, n_envs=3, obs_dim=2, action_dim=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        replay.transition_buffer_sample_rows(buf, jax.random.key(0), 16)
+
+
 def test_sequence_buffer_windows():
     buf = replay.sequence_buffer_init(capacity=64, n_envs=2, obs_dim=2, action_dim=1)
     t_vals = jnp.arange(40, dtype=jnp.float32)
