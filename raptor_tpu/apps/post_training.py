@@ -136,12 +136,21 @@ def main(argv=None):
     p.add_argument("--eval-max-angle", type=float, default=0.0,
                    help="eval-parity InitConfig.max_angle for evaluation/* "
                         "and crazyflie/* tags (0 = use training init)")
+    p.add_argument("--collect-angle-power", type=float, default=1.0,
+                   help="init-severity curriculum for the DAgger collect: "
+                        "start attitude angle = pi * u^(1/p). p=1 is the "
+                        "uniform reference draw; p>1 oversamples near-pi "
+                        "starts (types.InitConfig.angle_power)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every-rounds", type=int, default=5)
     args = p.parse_args(argv)
 
-    env = L2F(EnvConfig())
+    import dataclasses as _dc0
+
+    env = L2F(EnvConfig(init=_dc0.replace(
+        EnvConfig().init, angle_power=args.collect_angle_power)))
+    fullinit_env = L2F(EnvConfig()) if args.collect_angle_power != 1.0 else env
     teacher_actors, airframes = load_teachers(args.manifest)
     total_grad = args.grad_steps_per_round * args.rounds
     cfg = post_training.DistillConfig(
@@ -203,7 +212,10 @@ def main(argv=None):
             "crazyflie/share_terminated": float(cf.share_terminated),
         }
         if eval_env is not env:
-            fstats = evaluate_student(env, student, airframes, k_eval)
+            # fullinit/* stays on the UNIFORM-to-pi init regardless of any
+            # --collect-angle-power curriculum, so the tag remains
+            # comparable across rounds/runs.
+            fstats = evaluate_student(fullinit_env, student, airframes, k_eval)
             scalars.update(
                 {
                     "fullinit/return/mean": float(fstats.return_mean),

@@ -118,6 +118,11 @@ def main(argv=None):
                    default=False,
                    help="optax.flatten the adam states (identical math, one "
                         "fused vector op instead of per-leaf ops)")
+    p.add_argument("--init-angle-power", type=float, default=1.0,
+                   help="init-severity curriculum for teacher training: "
+                        "start attitude angle = max_angle * u^(1/p); p>1 "
+                        "oversamples severe starts (types.InitConfig."
+                        "angle_power)")
     p.add_argument("--sample-rows", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="row-contiguous replay sampling: minibatch = "
@@ -132,7 +137,10 @@ def main(argv=None):
                         "final export only")
     args = p.parse_args(argv)
 
-    env = L2F(EnvConfig())
+    import dataclasses as _dc
+
+    env = L2F(EnvConfig(init=_dc.replace(
+        EnvConfig().init, angle_power=args.init_angle_power)))
     key = jax.random.key(args.seed)
     k_air, k_init, k_eval = jax.random.split(key, 3)
 

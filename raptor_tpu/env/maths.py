@@ -74,12 +74,18 @@ def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
 
 
-def random_quaternion(key, max_angle: float = jnp.pi):
-    """Uniformly random rotation up to max_angle about a uniform random axis."""
+def random_quaternion(key, max_angle: float = jnp.pi, angle_power: float = 1.0):
+    """Random rotation up to max_angle about a uniform random axis.
+
+    angle = max_angle * u^(1/angle_power): power 1.0 = uniform angle
+    (reference distribution); power > 1 oversamples near-max angles
+    (init-severity curriculum, see types.InitConfig.angle_power)."""
     import jax
 
     k1, k2 = jax.random.split(key)
     axis = jax.random.normal(k1, (3,))
     axis = axis * jax_rsqrt(jnp.sum(axis * axis) + 1e-12)
-    angle = jax.random.uniform(k2, (), minval=0.0, maxval=max_angle)
-    return quat_from_axis_angle(axis, angle)
+    u = jax.random.uniform(k2, ())
+    if angle_power != 1.0:
+        u = u ** (1.0 / angle_power)
+    return quat_from_axis_angle(axis, u * max_angle)

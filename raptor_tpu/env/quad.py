@@ -99,7 +99,7 @@ class L2F:
         position = jax.random.uniform(
             k1, (3,), minval=-c.position_range, maxval=c.position_range
         )
-        orientation = maths.random_quaternion(k2, c.max_angle)
+        orientation = maths.random_quaternion(k2, c.max_angle, c.angle_power)
         linear_velocity = jax.random.normal(k3, (3,)) * c.linear_velocity_std
         angular_velocity = jax.random.normal(k4, (3,)) * c.angular_velocity_std
         rpm = (

@@ -100,6 +100,14 @@ class InitConfig:
 
     position_range: float = 0.3  # m, uniform box half-width
     max_angle: float = 3.14159265  # rad, uniform random attitude up to this
+    # Severity shaping of the attitude draw: angle = max_angle * u^(1/p)
+    # for u ~ U(0,1]. p = 1.0 is the uniform reference distribution;
+    # p > 1 oversamples severe (near-max_angle) starts — e.g. p = 3 puts
+    # ~50% of starts above 0.8*max_angle vs 20% for uniform. Used by the
+    # round-4 full-attitude curriculum (VERDICT r3 weak #2): uniform-to-pi
+    # training leaves pi-starts rare in the replay/DAgger data because
+    # they both occur rarely AND terminate early.
+    angle_power: float = 1.0
     linear_velocity_std: float = 0.1  # m/s
     angular_velocity_std: float = 0.1  # rad/s
     rpm_at_hover: bool = True  # start rotors near hover speed

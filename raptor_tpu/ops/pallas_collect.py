@@ -221,7 +221,14 @@ def _sample_state_tiles(P, ctr, init):
     ax, ay = _normal_pair(ctr, 3)
     az, _ = _normal_pair(ctr, 5)
     inv = jax.lax.rsqrt(ax * ax + ay * ay + az * az + 1e-12)
-    angle = _uniform(ctr, 7) * init["max_angle"]
+    u_angle = _uniform(ctr, 7)
+    if init["angle_power"] != 1.0:
+        # severity-biased draw u^(1/p) (types.InitConfig.angle_power) via
+        # exp/log — _uniform is bounded away from 0 so log() is finite.
+        # Guarded by the static != 1.0 check so the default program (and
+        # its persistent-cache entry) is byte-identical to round 3's.
+        u_angle = jnp.exp(jnp.log(u_angle) * (1.0 / init["angle_power"]))
+    angle = u_angle * init["max_angle"]
     half = angle * 0.5
     s, c = jnp.sin(half), jnp.cos(half)
     quat = (c, ax * inv * s, ay * inv * s, az * inv * s)
@@ -374,6 +381,7 @@ def _make_runner(
     init = {
         "position_range": config.init.position_range,
         "max_angle": config.init.max_angle,
+        "angle_power": config.init.angle_power,
         "lv_std": config.init.linear_velocity_std,
         "av_std": config.init.angular_velocity_std,
         "rpm_at_hover": config.init.rpm_at_hover,

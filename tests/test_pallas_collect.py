@@ -147,6 +147,44 @@ def test_in_kernel_sampler_distribution():
     assert angle.mean() > 0.5  # actually spread over the range
 
 
+def test_in_kernel_sampler_angle_power_bias():
+    """angle_power>1 (init-severity curriculum) must shift the in-kernel
+    attitude draw toward max_angle: E[u^(1/3)] = 0.75 vs E[u] = 0.5."""
+    base = dict(max_angle=2.0, position_range=0.25,
+                linear_velocity_std=0.15, angular_velocity_std=0.1)
+
+    def mean_angle(power):
+        cfg = EnvConfig(init=InitConfig(angle_power=power, **base),
+                        episode_length=1)
+        env = L2F(cfg)
+        params, es, obs0, student = _setup(env)
+        run = make_fused_collect(student, 10, cfg, chunk=5)
+        obs_f, _ = run(params, es.dynamics, 5)
+        obs = np.asarray(obs_f)[2:].reshape(-1, 22)
+        R = obs[:, 3:12].reshape(-1, 3, 3)
+        tr = np.einsum("nii->n", R)
+        return np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)).mean()
+
+    m1, m3 = mean_angle(1.0), mean_angle(3.0)
+    assert abs(m1 - 0.5 * base["max_angle"]) < 0.1
+    assert abs(m3 - 0.75 * base["max_angle"]) < 0.1
+
+
+def test_xla_sampler_angle_power_bias():
+    """The XLA-path sampler (maths.random_quaternion) applies the same
+    severity shaping as the kernel."""
+    from raptor_tpu.env import maths
+
+    def mean_angle(power):
+        keys = jax.random.split(jax.random.key(0), 2048)
+        qs = jax.vmap(lambda k: maths.random_quaternion(k, 2.0, power))(keys)
+        w = np.clip(np.abs(np.asarray(qs)[:, 0]), -1.0, 1.0)
+        return (2.0 * np.arccos(w)).mean()
+
+    assert abs(mean_angle(1.0) - 1.0) < 0.05
+    assert abs(mean_angle(3.0) - 1.5) < 0.05
+
+
 def test_relabel_matches_per_step_teacher_labels():
     """make_relabel (batched MXU pass) == make_collect's per-step labels."""
     env = L2F(EnvConfig())
