@@ -97,6 +97,16 @@ def _worker(n_devices: int, args) -> dict:
         "env_steps_per_call": env_steps_per_call,
         "seconds_per_super_step": per_call,
         "env_steps_per_s": env_steps_per_call / max(per_call, 1e-9),
+        # a virtual CPU "device" is a host thread pool slice: once
+        # devices exceed physical cores the devices time-share cores and
+        # weak scaling MUST flatten/regress (measured round 4: 4-core
+        # host, N=8 throughput < N=4). Real accelerator meshes have one
+        # chip per device and are immune.
+        "host_cpu_count": os.cpu_count(),
+        "oversubscribed": (
+            jax.devices()[0].platform == "cpu"
+            and n_devices > (os.cpu_count() or 1)
+        ),
     }
 
 
@@ -177,16 +187,26 @@ def main(argv=None):
                     f"{args.teachers_per_device} teachers/device)",
         "platform": args.platform,
         "virtual_mesh": args.platform == "cpu",
+        "host_cpu_count": os.cpu_count(),
         "note": (
             "CPU virtual-device mesh: validates sharding/collective "
             "plumbing and the measurement harness, NOT ICI bandwidth — "
             "the >=80% north-star number requires real chips "
-            "(--platform tpu on a multi-chip host)"
+            "(--platform tpu on a multi-chip host). Rows with "
+            "oversubscribed=true have more virtual devices than physical "
+            "cores: the devices time-share cores, so weak scaling "
+            "flattens or regresses there by construction — those rows "
+            "validate plumbing only and are excluded from the efficiency "
+            "verdict."
             if args.platform == "cpu"
             else "real device mesh"
         ),
         "rows": rows,
         "scaling": reports,
+        "scaling_valid": [
+            r for r, row in zip(reports, ok)
+            if base is not None and not row.get("oversubscribed")
+        ],
     }
     print(json.dumps(out, indent=2))
     if args.out:

@@ -28,7 +28,7 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    from raptor_tpu.distill.post_training import load_teachers
+    from raptor_tpu.apps.post_training import load_teachers
     from raptor_tpu.env import EnvConfig, L2F
     from raptor_tpu.rl import evaluation
 
