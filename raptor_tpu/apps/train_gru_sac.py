@@ -44,6 +44,15 @@ def main(argv=None):
                         "evaluation/* tags (0 = training init) — use 1.0 "
                         "for numbers comparable with the reference log "
                         "(apps/eval_parity.py protocol)")
+    p.add_argument("--privileged-critics",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="critics consume the full privileged obs "
+                        "(normalized-dynamics tail) while the actor sees "
+                        "the 22-dim policy slice — the MLP-SAC teachers' "
+                        "asymmetric structure. --no-privileged-critics "
+                        "restores the round-3 symmetric learner")
+    p.add_argument("--critic-hidden", type=int, default=0,
+                   help="critic GRU width (0 = same as actor hidden_dim)")
     p.add_argument("--experiments-dir", default="experiments")
     args = p.parse_args(argv)
 
@@ -65,7 +74,12 @@ def main(argv=None):
         sample_seq_len=args.seq_len,
         replay_capacity=4096,
     )
-    cfg = sac_gru.SACGRUConfig(burn_in=args.burn_in)
+    cfg = sac_gru.SACGRUConfig(
+        burn_in=args.burn_in,
+        actor_obs_dim=(run_cfg.actor_obs_dim if args.privileged_critics
+                       else None),
+        critic_hidden_dim=args.critic_hidden or None,
+    )
     key = jax.random.key(args.seed)
     k_pop, k_init, k_eval = jax.random.split(key, 3)
     params = sample_population(k_pop, args.n_envs)

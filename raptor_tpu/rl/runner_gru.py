@@ -51,7 +51,15 @@ def gru_trainer_init(
     cfg: sac_gru.SACGRUConfig = sac_gru.SACGRUConfig(),
 ) -> GRUTrainerState:
     k_l, k_reset, k_carry = jax.random.split(key, 3)
-    learner = sac_gru.sac_gru_init(k_l, run_cfg.actor_obs_dim, env.ACTION_DIM, cfg)
+    if cfg.actor_obs_dim is not None:
+        # privileged critics: learner obs = full env obs; actor slice is
+        # applied inside sac_gru_update. The two configs must agree.
+        assert cfg.actor_obs_dim == run_cfg.actor_obs_dim, (
+            cfg.actor_obs_dim, run_cfg.actor_obs_dim)
+        learner_obs_dim = env.OBSERVATION_DIM
+    else:
+        learner_obs_dim = run_cfg.actor_obs_dim
+    learner = sac_gru.sac_gru_init(k_l, learner_obs_dim, env.ACTION_DIM, cfg)
     v_reset, _ = env.vector_ops()
     env_state, obs = v_reset(jax.random.split(k_reset, run_cfg.n_envs), params)
     buffer = replay.sequence_buffer_init(
@@ -135,7 +143,12 @@ def train_sequences(
         batch = replay.sequence_buffer_sample(
             state.buffer, k_s, run_cfg.batch_size, run_cfg.sample_seq_len
         )
-        batch = dict(batch, obs=batch["obs"][..., : run_cfg.actor_obs_dim])
+        if cfg.actor_obs_dim is None:
+            # symmetric (round-3) mode: everything trains on the policy
+            # slice; privileged mode keeps full obs for the critics.
+            batch = dict(
+                batch, obs=batch["obs"][..., : run_cfg.actor_obs_dim]
+            )
         learner, metrics = sac_gru.sac_gru_update(learner, k_u, batch, cfg)
         return (learner, key), metrics
 

@@ -42,6 +42,17 @@ class SACGRUConfig:
     # learned h0 at t=0, which is biased mid-episode; the first `burn_in`
     # steps only warm up the hidden states and are masked out of every loss.
     burn_in: int = 0
+    # Asymmetric actor-critic (round-4 BPTT-SAC diagnosis, VERDICT r3
+    # weak #5): when set, the batch obs carries the FULL privileged
+    # observation (policy dims + normalized-dynamics tail) — critics
+    # consume all of it while the actor sees only obs[..., :actor_obs_dim],
+    # mirroring the MLP-SAC teachers' structure (SURVEY §3.3 'policy obs =
+    # first 22 dims of a larger privileged obs'). None = symmetric
+    # (round-3 behavior: everything trains on the pre-sliced policy obs).
+    actor_obs_dim: int | None = None
+    # independent critic GRU width (None = hidden_dim); the deployable
+    # actor stays at the foundation-policy width.
+    critic_hidden_dim: int | None = None
 
 
 class SACGRUState(struct.PyTreeNode):
@@ -110,9 +121,11 @@ def sac_gru_init(
 ) -> SACGRUState:
     ka, k1, k2 = jax.random.split(key, 3)
     h = config.hidden_dim
-    actor = gru_net.init_params(ka, obs_dim, h, 2 * action_dim)
-    critic1 = gru_net.init_params(k1, obs_dim + action_dim, h, 1)
-    critic2 = gru_net.init_params(k2, obs_dim + action_dim, h, 1)
+    hc = config.critic_hidden_dim or h
+    actor_in = config.actor_obs_dim or obs_dim
+    actor = gru_net.init_params(ka, actor_in, h, 2 * action_dim)
+    critic1 = gru_net.init_params(k1, obs_dim + action_dim, hc, 1)
+    critic2 = gru_net.init_params(k2, obs_dim + action_dim, hc, 1)
     a_opt, c_opt, al_opt = _optims(config)
     log_alpha = jnp.log(jnp.float32(config.init_alpha))
     return SACGRUState(
@@ -164,8 +177,15 @@ def sac_gru_update(
     k_next, k_pi = jax.random.split(key)
     a_optim, c_optim, al_optim = _optims(config)
 
+    # asymmetric actor-critic: actor sees the policy slice, critics the
+    # full privileged obs (no-op when actor_obs_dim is None)
+    a_obs = (
+        obs if config.actor_obs_dim is None
+        else obs[..., : config.actor_obs_dim]
+    )
+
     # ---- targets: policy action at every step, target-critic values ----
-    mu_n, log_std_n = actor_forward(state.actor, obs, reset, config)
+    mu_n, log_std_n = actor_forward(state.actor, a_obs, reset, config)
     a_next, logp_next = _sample_squash(k_next, mu_n, log_std_n)
     tq1 = critic_forward(state.target1, obs, a_next, reset)
     tq2 = critic_forward(state.target2, obs, a_next, reset)
@@ -206,7 +226,7 @@ def sac_gru_update(
 
     # ---- actor ----
     def actor_loss_fn(actor):
-        mu, log_std = actor_forward(actor, obs, reset, config)
+        mu, log_std = actor_forward(actor, a_obs, reset, config)
         pi, logp = _sample_squash(k_pi, mu, log_std)
         q1 = critic_forward(critic1, obs, pi, reset)
         q2 = critic_forward(critic2, obs, pi, reset)

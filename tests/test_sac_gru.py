@@ -88,6 +88,35 @@ def test_gru_runner_super_step():
     assert state.hidden.shape == (8, 16)
 
 
+def test_gru_runner_privileged_critics():
+    """Asymmetric mode: critics consume the full privileged obs, the actor
+    (and its export surface) stays on the 22-dim policy slice."""
+    env = L2F(EnvConfig())
+    run_cfg = runner_gru.GRURunnerConfig(
+        n_envs=8, rollout_length=8, gradient_steps=2, batch_size=4,
+        sample_seq_len=8, replay_capacity=64,
+    )
+    cfg = sac_gru.SACGRUConfig(
+        actor_obs_dim=run_cfg.actor_obs_dim, critic_hidden_dim=32
+    )
+    params = sample_population(jax.random.key(0), run_cfg.n_envs)
+    state = runner_gru.gru_trainer_init(jax.random.key(1), env, params, run_cfg, cfg)
+    # actor input = policy slice; critic input = full obs + action
+    assert state.learner.actor["dense_0"]["weights"].shape[1] == 22
+    assert (
+        state.learner.critic1["dense_0"]["weights"].shape[1]
+        == env.OBSERVATION_DIM + env.ACTION_DIM
+    )
+    # critic wider than the deployable actor
+    assert state.learner.critic1["gru_1"]["initial_hidden_state"].shape[-1] == 32
+    assert state.learner.actor["gru_1"]["initial_hidden_state"].shape[-1] == 16
+    super_step = runner_gru.make_gru_super_step(env, run_cfg, cfg)
+    state, metrics = super_step(state, params)
+    state, metrics = super_step(state, params)
+    for m in metrics:
+        assert np.isfinite(float(m))
+
+
 @pytest.mark.slow
 def test_sac_gru_learns_hover():
     """Recurrent SAC improves eval return on fixed crazyflie hover."""
