@@ -248,6 +248,10 @@ VARIANTS = [
     ("k128_rowsample_fastpath_unroll10", dict(
         n_teachers=128, unroll=True, sample_rows=True,
         sac_kwargs=dict(stack_critics=True, flat_optim=True))),
+    # post-fix decomposition: what does the train phase cost once the
+    # gather is gone?
+    ("k128_rowsample_train_only", dict(
+        n_teachers=128, mode="train", sample_rows=True)),
 ]
 
 
