@@ -252,6 +252,10 @@ VARIANTS = [
     # gather is gone?
     ("k128_rowsample_train_only", dict(
         n_teachers=128, mode="train", sample_rows=True)),
+    # bf16 retest now that the gather no longer masks the matmuls
+    ("k128_rowsample_bf16_unroll10", dict(
+        n_teachers=128, unroll=True, sample_rows=True,
+        sac_kwargs=dict(compute_dtype="bfloat16"))),
 ]
 
 
