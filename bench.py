@@ -17,6 +17,12 @@ the default line, not just the flattest metric):
   teacher labels + BPTT gradient steps, env-steps/s of wall-clock incl.
   training. This is like-for-like with the only measured reference
   throughput: 10,580 env-steps/s for its post-training run (BASELINE.md).
+- pretrain_env_steps_per_s: the SAC teacher-farm super-step (the
+  reference's `seq 0 999 | xargs` process farm, README:207, as ONE
+  vmapped program) at the exact production wave config — K=128 teachers,
+  row-contiguous replay sampling, 10 unrolled inner steps per dispatch.
+  This is ~94% of all TPU time in the full pipeline; round 4 moved it
+  from 0.63M to ~1.6M env-steps/s (artifacts/profile_rowsample.json).
 
 Design: the parent process imports NO jax. Each metric runs in its own
 subprocess (`bench.py --sub <name>`), sequentially — so every measurement
@@ -49,6 +55,11 @@ SUBBENCHES = [
     # production-shaped config (K=128): same three programs, sized for a
     # worst-case cold compile of the K-batched collect
     ("train_env_steps_per_s", 2400),
+    # the production teacher-wave program (K=128, 10 unrolled inner steps):
+    # identical to apps.pre_training's jitted super-step, so any wave run
+    # this machine has done leaves it compile-cached; cold, the unrolled
+    # multi-step is the slowest compile in the repo
+    ("pretrain_env_steps_per_s", 2700),
 ]
 
 
@@ -242,6 +253,61 @@ def bench_train_env_steps_per_s():
     lo, hi = 1, 4
     t_lo, t_hi = timed(lo, 1), timed(hi, 2)
     return K * M * T * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+
+def bench_pretrain_env_steps_per_s():
+    """SAC teacher-farm throughput (aggregate env-steps/s across the
+    population) at the exact production wave configuration — the program
+    `apps.pre_training --population 128 --steps-per-call 10
+    --replay-capacity 1536 --sample-rows` runs, so the persistent cache
+    from any real wave makes this sub warm. Reference anchor: the
+    1000-process xargs farm (SURVEY §4.3, README:207); ours is one
+    vmapped program (distill/population.py)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from raptor_tpu.distill import population
+    from raptor_tpu.env import EnvConfig, L2F
+    from raptor_tpu.rl import sac
+
+    K, spc = (4, 2) if _small() else (128, 10)
+    pop_cfg = population.PopulationConfig(
+        n_teachers=K,
+        envs_per_teacher=8 if _small() else 32,
+        replay_capacity=64 if _small() else 1536,
+        sample_rows=True,
+    )
+    sac_cfg = sac.SACConfig()
+    env = L2F(EnvConfig())
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    states, env_params, run_cfg = population.population_init(
+        jax.random.key(1), env, airframes, pop_cfg, sac_cfg
+    )
+    warmup = population.make_population_warmup(env, run_cfg)
+    super_step = population.make_population_multi_step(
+        env, run_cfg, sac_cfg, spc, unroll=True
+    )
+    for _ in range(pop_cfg.warmup_super_steps):
+        states = warmup(states, env_params)
+    states, metrics = super_step(states, env_params)
+    float(jnp.sum(metrics.critic_loss))  # warm + drain
+
+    env_steps_per_call = (
+        K * run_cfg.n_envs * run_cfg.rollout_length * spc
+    )
+
+    def timed(iters):
+        nonlocal states
+        t0 = time.perf_counter()
+        m = metrics
+        for _ in range(iters):
+            states, m = super_step(states, env_params)
+        float(jnp.sum(m.critic_loss))  # hard sync (readback)
+        return time.perf_counter() - t0
+
+    lo, hi = 2, 6
+    t_lo, t_hi = timed(lo), timed(hi)
+    return env_steps_per_call * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
 
 # ------------------------------------------------------------ orchestration
