@@ -141,6 +141,11 @@ def main(argv=None):
                         "start attitude angle = pi * u^(1/p). p=1 is the "
                         "uniform reference draw; p>1 oversamples near-pi "
                         "starts (types.InitConfig.angle_power)")
+    p.add_argument("--student-hidden", type=int, default=16,
+                   help="student GRU width; 16 = reference architecture "
+                        "(2,084 params). Other widths are a capacity "
+                        "ablation — exports remain schema-valid but are "
+                        "not reference-parity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--experiments-dir", default="experiments")
     p.add_argument("--eval-every-rounds", type=int, default=5)
@@ -169,6 +174,7 @@ def main(argv=None):
         teachers_per_round=args.teachers_per_round,
         standardize=args.standardize,
         diagnostics=args.diagnostics,
+        student_hidden=args.student_hidden,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})

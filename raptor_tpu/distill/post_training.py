@@ -68,6 +68,13 @@ class DistillConfig:
     standardize: bool = False
     # --- per-round loss decomposition (VERDICT r2 item 2)
     diagnostics: bool = False
+    # --- student capacity ablation (round 4): GRU width of the distilled
+    # student. 16 = the reference architecture (2,084 params, ckpt.h:134)
+    # and the only value with checkpoint parity; other widths answer
+    # whether the pi-start ceiling is model capacity (every other lever —
+    # population size, teacher budget, collect severity, teacher-init
+    # severity — measured a plateau at ~320/500).
+    student_hidden: int = 16
 
 
 class RoundData(NamedTuple):
@@ -487,7 +494,7 @@ def distill(
     from raptor_tpu.distill.population import broadcast_airframe_to_envs
 
     k_init, key = jax.random.split(key)
-    student = student_net.init_params(k_init)
+    student = student_net.init_params(k_init, hidden_dim=cfg.student_hidden)
     collect = make_collect(env, cfg)
     aggregated = cfg.aggregate_capacity > 0 and cfg.grad_steps_per_round > 0
     if aggregated:
