@@ -22,7 +22,16 @@ while true; do
   PY_PID=$(ps -o pid= --ppid "$TO_PID" | head -1 | tr -d ' ')
   [ -n "$PY_PID" ] || continue
   grep -q "raptor_tpu.apps.pre_training" "/proc/$PY_PID/cmdline" 2>/dev/null || continue
-  EV=$(ls -t experiments/*/*_pre_training/events.out.tfevents.* 2>/dev/null | head -1)
+  # v3 fix (cost wave 1500, session 5): the newest run dir belongs to the
+  # PREVIOUS wave until this python creates its own — a freshly started
+  # wave must never be killed for the previous run's staleness. Only
+  # consider run dirs created AFTER this python started; none yet =>
+  # still compiling, leave it alone (`timeout` bounds a compile hang).
+  PY_AGE=$(ps -o etimes= -p "$PY_PID" 2>/dev/null | tr -d ' ')
+  [ -n "$PY_AGE" ] || continue
+  PY_START=$(( $(date +%s) - PY_AGE ))
+  EV=$(find experiments -name "events.out.tfevents.*" -path "*_pre_training*" \
+       -newermt "@$PY_START" 2>/dev/null | head -1)
   [ -n "$EV" ] || continue
   SIZE=$(stat -c %s "$EV")
   RUNDIR=$(dirname "$EV")
