@@ -316,3 +316,34 @@ def test_population_multi_step_equivalence(env):
             np.asarray(jax.tree.leaves(s_x.sac.actor)[0]),
             atol=1e-6,
         )
+
+
+def test_distill_student_hidden_ablation(env):
+    """--student-hidden (capacity ablation, round 4): a non-default GRU
+    width distills end-to-end, and the returned params carry the
+    requested width everywhere (dense_0 out, GRU gates, dense_2 in)."""
+    K = 2
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=4,
+        rollout_length=30,
+        epochs_per_round=1,
+        batch_size=4,
+        teacher_mix_decay_rounds=1,
+        student_hidden=24,
+    )
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    student, history = post_training.distill(
+        jax.random.key(2), env, teachers, airframes, cfg, n_rounds=2
+    )
+    assert student["dense_0"]["weights"].shape == (24, 22)
+    assert student["gru_1"]["weights_input"].shape == (72, 24)
+    assert student["gru_1"]["initial_hidden_state"].shape == (24,)
+    assert student["dense_2"]["weights"].shape == (4, 24)
+    assert np.all(np.isfinite(history))
+    # the wide student steps like any other policy
+    h = student_net.initial_hidden(student, 3)
+    h, act = student_net.apply_step(student, h, jnp.zeros((3, 22)))
+    assert act.shape == (3, 4) and h.shape == (3, 24)
