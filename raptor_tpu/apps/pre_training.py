@@ -123,6 +123,18 @@ def main(argv=None):
                         "start attitude angle = max_angle * u^(1/p); p>1 "
                         "oversamples severe starts (types.InitConfig."
                         "angle_power)")
+    p.add_argument("--angular-velocity-weight", type=float, default=None,
+                   help="override RewardConfig.angular_velocity_weight for "
+                        "TEACHER training only (recovery shaping, round-4 "
+                        "failure-mode diagnosis: pi-start failures are "
+                        "100%% bottom-of-box exits while righting at ~3 "
+                        "rad/s — the |w|^2 penalty prices out the fast "
+                        "flip the 0.6 m box demands; apps/failure_modes)."
+                        " DAgger transfers actions only, so students are "
+                        "still evaluated on the standard reward")
+    p.add_argument("--action-weight", type=float, default=None,
+                   help="override RewardConfig.action_weight for teacher "
+                        "training (see --angular-velocity-weight)")
     p.add_argument("--sample-rows", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="row-contiguous replay sampling: minibatch = "
@@ -139,8 +151,16 @@ def main(argv=None):
 
     import dataclasses as _dc
 
-    env = L2F(EnvConfig(init=_dc.replace(
-        EnvConfig().init, angle_power=args.init_angle_power)))
+    base = EnvConfig()
+    rw = base.reward
+    if args.angular_velocity_weight is not None:
+        rw = _dc.replace(rw, angular_velocity_weight=args.angular_velocity_weight)
+    if args.action_weight is not None:
+        rw = _dc.replace(rw, action_weight=args.action_weight)
+    env = L2F(EnvConfig(
+        init=_dc.replace(base.init, angle_power=args.init_angle_power),
+        reward=rw,
+    ))
     key = jax.random.key(args.seed)
     k_air, k_init, k_eval = jax.random.split(key, 3)
 
