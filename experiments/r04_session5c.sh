@@ -52,6 +52,37 @@ if stage_ok 2100 recovery_wave; then
   fi
 fi
 
+# optional: if the evening ran ahead of schedule, distill the shaped
+# teachers immediately (K=128 alone, severity collect) and sweep — the
+# first student whose labels contain fast flips. Gated to always leave
+# room for pytest + bench_scaling.
+if [ -f artifacts/teachers_rec2100_15M.npz ] && stage_ok 4200 distill_rec128; then
+  echo "artifacts/teachers_rec2100_15M.npz" > experiments/gate_rec2100.txt
+  timeout 2400 python -m raptor_tpu.apps.post_training \
+    experiments/gate_rec2100.txt \
+    --rounds 160 --envs-per-teacher 8 --teachers-per-round 118 \
+    --aggregate-capacity 40960 --grad-steps-per-round 913 \
+    --teacher-mix-rounds 3 --eval-max-angle 1.0 --eval-every-rounds 10 \
+    --collect-angle-power 2 --seed 0 \
+    > /tmp/distill_rec128.log 2>&1
+  RC=$?
+  echo "distill rec128 rc=$RC $(date)"
+  STUDENT=$(grep -o "experiments/[^ ]*final\.h5" /tmp/distill_rec128.log | tail -1)
+  if [ "$RC" -eq 0 ] && [ -n "$STUDENT" ] && [ -f "$STUDENT" ]; then
+    cp "$STUDENT" artifacts/student_rec128_collP2.h5
+    RUN=$(dirname "$(dirname "$STUDENT")")
+    cp $(ls "$RUN"/events.out.tfevents.* | head -1) \
+      artifacts/distill_rec128_collP2.tfevents || true
+    if [ "$(remaining)" -gt 2600 ]; then
+      timeout 1500 python -m raptor_tpu.apps.eval_parity \
+        --checkpoint artifacts/student_rec128_collP2.h5 \
+        --out artifacts/eval_parity_rec128_collP2.json \
+        > /tmp/eval_parity_rec128.log 2>&1
+      echo "eval_parity rec128 rc=$? $(date)"
+    fi
+  fi
+fi
+
 if stage_ok 1400 pytest; then
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
     timeout 2400 python -m pytest tests/ -q \
