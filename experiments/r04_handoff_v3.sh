@@ -9,15 +9,15 @@ LOG=/tmp/r04_session5b.log
 
 while true; do
   sleep 15
-  if grep -q "stage pytest" "$LOG" 2>/dev/null; then break; fi
+  if grep -q "stage cap32" "$LOG" 2>/dev/null; then break; fi
   if ! kill -0 "$V2_PID" 2>/dev/null; then
-    echo "handoff: v2 exited before pytest stage $(date)"
+    echo "handoff: v2 exited before cap32 stage $(date)"
     break
   fi
 done
 
 if kill -0 "$V2_PID" 2>/dev/null; then
-  echo "handoff: cutting v2 at pytest boundary $(date)"
+  echo "handoff: cutting v2 at cap32 boundary $(date)"
   DESC=$(ps -o pid= --ppid "$V2_PID" | tr -d ' ')
   for P in $DESC; do
     GRAND=$(ps -o pid= --ppid "$P" | tr -d ' ')
