@@ -1,0 +1,72 @@
+"""Scripted geometric recovery controller (round 4): sanity + witness.
+
+The app's headline claim (scripted control survives pi starts where every
+learned policy fails) is pinned by the committed artifact
+(`artifacts/scripted_recovery.json`); these tests keep the controller
+itself healthy: finite bounded actions everywhere, near-hover the
+allocation reproduces hover thrust, and a tiny pi-start batch beats the
+do-nothing baseline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.apps import scripted_recovery
+from raptor_tpu.env import EnvConfig, L2F, presets
+from raptor_tpu.env.types import InitConfig
+from raptor_tpu.env import dynamics
+
+
+def test_controller_hover_fixed_point():
+    """At rest, upright, at the origin: the commanded action ~= hover."""
+    p = presets.crazyflie()
+    env = L2F(EnvConfig())
+    state = dynamics.hover_state(p) if hasattr(dynamics, "hover_state") else None
+    if state is None:
+        from raptor_tpu.env.types import State
+
+        state = State(
+            position=jnp.zeros(3),
+            orientation=jnp.array([1.0, 0.0, 0.0, 0.0]),
+            linear_velocity=jnp.zeros(3),
+            angular_velocity=jnp.zeros(3),
+            rpm=jnp.broadcast_to(dynamics.hover_rpm(p), (4,)),
+        )
+    act = scripted_recovery.controller(p, state)
+    hover = dynamics.hover_action(p)
+    assert act.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(act)))
+    assert float(jnp.max(jnp.abs(act - hover))) < 0.15
+
+
+def test_controller_inverted_commands_rotation():
+    """Upside down: finite, bounded, and asymmetric (torque-producing)."""
+    p = presets.crazyflie()
+    from raptor_tpu.env.types import State
+
+    state = State(
+        position=jnp.zeros(3),
+        orientation=jnp.array([0.0, 1.0, 0.0, 0.0]),  # pi roll
+        linear_velocity=jnp.zeros(3),
+        angular_velocity=jnp.zeros(3),
+        rpm=jnp.broadcast_to(dynamics.hover_rpm(p), (4,)),
+    )
+    act = np.asarray(scripted_recovery.controller(p, state))
+    assert np.all(np.isfinite(act)) and np.all(np.abs(act) <= 1.0)
+    assert np.ptp(act) > 0.2  # differential command, not collective-only
+
+
+def test_scripted_beats_passive_at_pi():
+    env = L2F(EnvConfig(init=InitConfig(max_angle=3.14159265)))
+    one = presets.crazyflie()
+    m = 8
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x, (m,) + x.shape), one)
+    alive, snap = jax.jit(
+        lambda k: scripted_recovery.rollout(env, params, k, m)
+    )(jax.random.key(1))
+    t = np.asarray(snap["t"]).astype(float)
+    survival = np.where(t < 0, env.EPISODE_LENGTH, t)
+    # a passive/hover policy dies in well under a second from inverted
+    # starts; the scripted controller must do far better on average
+    assert survival.mean() > 200
