@@ -141,6 +141,14 @@ def main(argv=None):
                         "start attitude angle = pi * u^(1/p). p=1 is the "
                         "uniform reference draw; p>1 oversamples near-pi "
                         "starts (types.InitConfig.angle_power)")
+    p.add_argument("--demo-tilt", type=float, default=0.0,
+                   help="demonstration injection: collect states tilted "
+                        "beyond this angle (rad) get DAgger labels from "
+                        "the scripted recovery controller instead of the "
+                        "SAC teacher (env.recovery; MIGRATION §6). "
+                        "0 = off. The eval-parity protocol (max_angle 1.0) "
+                        "stays below any sensible threshold, so parity "
+                        "tags measure the unchanged hover behavior")
     p.add_argument("--student-hidden", type=int, default=16,
                    help="student GRU width; 16 = reference architecture "
                         "(2,084 params). Other widths are a capacity "
@@ -175,6 +183,7 @@ def main(argv=None):
         standardize=args.standardize,
         diagnostics=args.diagnostics,
         student_hidden=args.student_hidden,
+        demo_tilt=args.demo_tilt,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})

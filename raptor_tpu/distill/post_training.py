@@ -75,6 +75,16 @@ class DistillConfig:
     # population size, teacher budget, collect severity, teacher-init
     # severity — measured a plateau at ~320/500).
     student_hidden: int = 16
+    # --- demonstration injection (round 4, docs/MIGRATION.md §6 lever 1a):
+    # collect states whose body-z tilt exceeds this threshold (rad) are
+    # labeled by the scripted geometric recovery controller
+    # (env.recovery.recovery_action) instead of the SAC teacher. The
+    # failure-mode probe proved teachers flip 3-4x slower than the box
+    # demands because SAC never explored the fast flip; the scripted
+    # demonstrator already beats every learned policy at pi starts
+    # (artifacts/scripted_recovery.json: 28.5% vs ~39% termination).
+    # 0 = off (labels are pure teacher actions, reference behavior).
+    demo_tilt: float = 0.0
 
 
 class RoundData(NamedTuple):
@@ -118,11 +128,42 @@ def teacher_mix(cfg: DistillConfig, round_idx: int) -> float:
     )
 
 
+def make_labeler(env: L2F, cfg: DistillConfig):
+    """Label function for one collect step: (teacher_actors [K],
+    flat_params [K*M], obs_full [K*M, D], state [K*M]) -> labels [K*M, 4].
+
+    Pure teacher mean actions by default; with cfg.demo_tilt > 0, states
+    tilted beyond the threshold take the scripted recovery demonstrator's
+    action instead (demonstration injection, docs/MIGRATION.md §6 —
+    privileged state access is fine here: labels are training targets,
+    the student still only sees the 22-dim policy obs)."""
+    from raptor_tpu.env.recovery import recovery_action, tilt_angle
+
+    v_demo = jax.vmap(recovery_action, in_axes=(0, 0))
+    v_tilt = jax.vmap(tilt_angle)
+
+    def label_fn(teacher_actors, flat_params, obs_full, state):
+        # obs_full [K*M, D] -> per-teacher mean action via vmap over K
+        KM = obs_full.shape[0]
+        K = jax.tree.leaves(teacher_actors)[0].shape[0]
+        obs_k = obs_full.reshape(K, KM // K, -1)
+        act_k = jax.vmap(networks.actor_mean)(teacher_actors, obs_k)
+        label = act_k.reshape(KM, -1)
+        if cfg.demo_tilt > 0.0:
+            demo = v_demo(flat_params, state)
+            severe = (v_tilt(state.orientation) > cfg.demo_tilt)[:, None]
+            label = jnp.where(severe, demo, label)
+        return label
+
+    return label_fn
+
+
 def make_collect(env: L2F, cfg: DistillConfig):
     """Jitted round-collection: (student_params, teacher_actors [K],
     env_params [K, M], key, beta) -> RoundData."""
     _, v_step = env.vector_ops()
     v_reset = jax.vmap(env.reset, in_axes=(0, 0))
+    label_fn = make_labeler(env, cfg)
 
     def collect(student_params, teacher_actors, env_params, key, beta,
                 norm=None):
@@ -135,18 +176,12 @@ def make_collect(env: L2F, cfg: DistillConfig):
         es, obs = v_reset(jax.random.split(k_reset, K * M), flat_params)
         h0 = student_net.initial_hidden(student_params, K * M)
 
-        def teacher_label(obs_full):
-            # obs_full [K*M, D] -> per-teacher mean action via vmap over K
-            obs_k = obs_full.reshape(K, M, -1)
-            act_k = jax.vmap(networks.actor_mean)(teacher_actors, obs_k)
-            return act_k.reshape(K * M, -1)
-
         def body(carry, key_t):
             es, obs, h = carry
             h_new, student_action = student_net.apply_step(
                 student_params, h, _norm_obs(obs[..., :POLICY_OBS_DIM], norm)
             )
-            label = teacher_label(obs)
+            label = label_fn(teacher_actors, flat_params, obs, es.dynamics)
             use_teacher = (
                 jax.random.uniform(key_t, (K * M, 1)) < beta
             ).astype(jnp.float32)

@@ -318,6 +318,79 @@ def test_population_multi_step_equivalence(env):
         )
 
 
+def test_demo_label_injection(env):
+    """Demonstration injection (MIGRATION §6 lever 1a): with demo_tilt set,
+    collect states tilted beyond the threshold get the scripted recovery
+    controller's action as their DAgger label; upright states keep the
+    teacher label; demo_tilt=0 is bit-identical to the pure-teacher path."""
+    from raptor_tpu.env.recovery import recovery_action, tilt_angle
+
+    K, M = 2, 4
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    env_params = population.broadcast_airframe_to_envs(airframes, M)
+    flat = jax.tree.map(
+        lambda x: x.reshape((K * M,) + x.shape[2:]), env_params
+    )
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    # default init is uniform-to-pi attitudes: a batch of resets spans the
+    # threshold both ways
+    es, obs = jax.vmap(env.reset)(
+        jax.random.split(jax.random.key(3), K * M), flat
+    )
+    state = es.dynamics
+    tilt = np.asarray(jax.vmap(tilt_angle)(state.orientation))
+    thresh = float(np.median(tilt))  # guarantees rows on both sides
+    assert (tilt > thresh).any() and (tilt <= thresh).any()
+
+    lab_teacher = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=0.0)
+    )(teachers, flat, obs, state)
+    lab_demo = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=thresh)
+    )(teachers, flat, obs, state)
+    demo = jax.vmap(recovery_action)(flat, state)
+
+    lab_teacher, lab_demo, demo = map(np.asarray, (lab_teacher, lab_demo, demo))
+    severe = tilt > thresh
+    np.testing.assert_allclose(lab_demo[severe], demo[severe], atol=1e-6)
+    np.testing.assert_allclose(
+        lab_demo[~severe], lab_teacher[~severe], atol=1e-6
+    )
+    # teacher path unchanged: matches a direct per-teacher actor_mean
+    direct = jax.vmap(networks.actor_mean)(
+        teachers, obs.reshape(K, M, -1)
+    ).reshape(K * M, 4)
+    np.testing.assert_allclose(lab_teacher, np.asarray(direct), atol=1e-6)
+    # a very high threshold never fires
+    lab_off = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=10.0)
+    )(teachers, flat, obs, state)
+    np.testing.assert_allclose(np.asarray(lab_off), lab_teacher, atol=0)
+
+    # end-to-end: a collect round with injection jits and stays finite,
+    # and at least one label differs from the pure-teacher round
+    cfg = post_training.DistillConfig(
+        envs_per_teacher=M, rollout_length=20, demo_tilt=1.0
+    )
+    data = post_training.make_collect(env, cfg)(
+        student_net.init_params(jax.random.key(4)), teachers, env_params,
+        jax.random.key(5), 0.5,
+    )
+    assert np.all(np.isfinite(np.asarray(data.teacher_action)))
+    cfg0 = post_training.DistillConfig(
+        envs_per_teacher=M, rollout_length=20, demo_tilt=0.0
+    )
+    data0 = post_training.make_collect(env, cfg0)(
+        student_net.init_params(jax.random.key(4)), teachers, env_params,
+        jax.random.key(5), 0.5,
+    )
+    assert not np.allclose(
+        np.asarray(data.teacher_action), np.asarray(data0.teacher_action)
+    )
+
+
 def test_distill_student_hidden_ablation(env):
     """--student-hidden (capacity ablation, round 4): a non-default GRU
     width distills end-to-end, and the returned params carry the
