@@ -1,0 +1,67 @@
+#!/bin/bash
+# Session-6 chain — demonstration injection (MIGRATION §6 lever 1a).
+# Union pack: the standard 512 (seeds 900-1200 x 30.7M) + the 128
+# recovery-shaped teachers (rec2100), distilled at the matched reference
+# budget with --demo-tilt 1.2: collect states tilted past 1.2 rad take
+# their DAgger labels from the scripted geometric recovery controller
+# (env/recovery.py), which beats every learned policy at pi starts
+# (artifacts/scripted_recovery.json 28.5% vs ~39% termination). Targets
+# (VERDICT r3 item 2): pi-start aggregate >= 400/500, held-out crazyflie
+# >= 420/500, parity protocol not regressing (>=495/500 @ <=1.5%).
+set -u
+cd /root/repo
+END_TS=${1:?END_TS epoch}
+
+remaining() { echo $(( END_TS - $(date +%s) )); }
+stage_ok() {
+  local R; R=$(remaining)
+  if [ "$R" -gt "$1" ]; then
+    echo "=== stage $2 start (remaining ${R}s, est $1s) $(date) ==="
+    return 0
+  fi
+  echo "=== stage $2 SKIPPED (remaining ${R}s < est $1s) $(date) ==="
+  return 1
+}
+
+cat > experiments/union_rec640_packs.txt <<EOF
+artifacts/teachers_seed900_30M.npz
+artifacts/teachers_seed1000_30M.npz
+artifacts/teachers_seed1100_30M.npz
+artifacts/teachers_seed1200_30M.npz
+artifacts/teachers_rec2100_15M.npz
+EOF
+
+if stage_ok 600 distill_demo640; then
+  timeout $(( $(remaining) - 420 )) python -m raptor_tpu.apps.post_training \
+    experiments/union_rec640_packs.txt \
+    --rounds 160 --envs-per-teacher 8 --teachers-per-round 118 \
+    --aggregate-capacity 40960 --grad-steps-per-round 913 \
+    --teacher-mix-rounds 3 --eval-max-angle 1.0 --eval-every-rounds 10 \
+    --collect-angle-power 4 --demo-tilt 1.2 --seed 0 \
+    > /tmp/distill_demo640.log 2>&1
+  RC=$?
+  echo "distill demo640 rc=$RC $(date)"
+  STUDENT=$(grep -o "experiments/[^ ]*final\.h5" /tmp/distill_demo640.log | tail -1)
+  if [ -z "$STUDENT" ] || [ ! -f "$STUDENT" ]; then
+    # timed out mid-run: the round_hook checkpoints every 10 rounds —
+    # take the newest periodic export instead
+    STUDENT=$(ls -t experiments/*/*post_training/checkpoints/*.h5 2>/dev/null | head -1)
+    echo "using periodic checkpoint: $STUDENT"
+  fi
+  if [ -n "$STUDENT" ] && [ -f "$STUDENT" ]; then
+    cp "$STUDENT" artifacts/student_demo640.h5
+    RUN=$(dirname "$(dirname "$STUDENT")")
+    cp $(ls "$RUN"/events.out.tfevents.* | head -1) \
+      artifacts/distill_demo640.tfevents 2>/dev/null || true
+    if stage_ok 420 eval_parity_demo640; then
+      timeout $(( $(remaining) - 60 )) python -m raptor_tpu.apps.eval_parity \
+        --checkpoint artifacts/student_demo640.h5 \
+        --out artifacts/eval_parity_demo640.json \
+        > /tmp/eval_parity_demo640.log 2>&1
+      echo "eval_parity demo640 rc=$? $(date)"
+    fi
+  fi
+fi
+
+touch /tmp/r04_session6_done
+echo "=== session6 chain done, TPU idle $(date) ==="
