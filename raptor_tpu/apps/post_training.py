@@ -149,6 +149,21 @@ def main(argv=None):
                         "0 = off. The eval-parity protocol (max_angle 1.0) "
                         "stays below any sensible threshold, so parity "
                         "tags measure the unchanged hover behavior")
+    p.add_argument("--demo-rollout-frac", type=float, default=0.0,
+                   help="fraction of each teacher's collect envs EXECUTED "
+                        "by the scripted demonstrator for the whole run "
+                        "(state coverage of the recovery trajectory — the "
+                        "round-5 fix for the null demo640 measurement; "
+                        "DistillConfig.demo_rollout_frac)")
+    p.add_argument("--demo-adaptive", action="store_true",
+                   help="per-airframe adaptive demonstrator gain caps "
+                        "(env.recovery.adaptive_gain_caps) for demo labels "
+                        "and demo-driven envs")
+    p.add_argument("--severe-weight", type=float, default=1.0,
+                   help="BPTT loss weight on frames tilted past "
+                        "--severe-tilt (weight-normalized; 1.0 = off)")
+    p.add_argument("--severe-tilt", type=float, default=1.2,
+                   help="tilt threshold (rad) for --severe-weight")
     p.add_argument("--student-hidden", type=int, default=16,
                    help="student GRU width; 16 = reference architecture "
                         "(2,084 params). Other widths are a capacity "
@@ -184,6 +199,10 @@ def main(argv=None):
         diagnostics=args.diagnostics,
         student_hidden=args.student_hidden,
         demo_tilt=args.demo_tilt,
+        demo_rollout_frac=args.demo_rollout_frac,
+        demo_adaptive=args.demo_adaptive,
+        severe_weight=args.severe_weight,
+        severe_tilt=args.severe_tilt,
     )
     run = Run(base_dir=args.experiments_dir, name="post_training")
     run.snapshot_config({"cfg": cfg, "seed": args.seed, "manifest": args.manifest})

@@ -142,6 +142,19 @@ def main(argv=None):
                         "scattered (t, e) gathers (measured ~88%% of the "
                         "train phase); see replay."
                         "transition_buffer_sample_rows")
+    p.add_argument("--demo-seed-steps", type=int, default=0,
+                   help="DDPGfD replay seeding (MIGRATION §6 lever 1b): "
+                        "run N scripted-demonstrator collect super-steps "
+                        "after the random warmup, so critics see the fast "
+                        "flip's value from step 0. Pair with "
+                        "--init-angle-power so the demos start severe")
+    p.add_argument("--demo-every", type=int, default=0,
+                   help="additionally run one demonstrator collect every "
+                        "N training super-steps (keeps ~H/N of the ring "
+                        "demonstration data against eviction; 0 = off)")
+    p.add_argument("--demo-adaptive", action="store_true",
+                   help="per-airframe adaptive demonstrator gain caps "
+                        "(env.recovery.adaptive_gain_caps)")
     p.add_argument("--checkpoint-every", type=int, default=500,
                    help="also export the full teacher population every N "
                         "super-steps (overwrites in place) so a hung or "
@@ -214,13 +227,23 @@ def main(argv=None):
         }
     )
 
+    demo_collect = None
+    if args.demo_seed_steps or args.demo_every:
+        demo_collect = population.make_population_demo_collect(
+            env, run_cfg, adaptive=args.demo_adaptive
+        )
+
     for _ in range(pop_cfg.warmup_super_steps):
         states = warmup(states, env_params)
+    for _ in range(args.demo_seed_steps):
+        states = demo_collect(states, env_params)
     env_steps_per = (
         run_cfg.rollout_length * run_cfg.n_envs * args.steps_per_call
     )
     for i in range(args.super_steps):
         states, metrics = super_step(states, env_params)
+        if args.demo_every and (i + 1) % args.demo_every == 0:
+            states = demo_collect(states, env_params)
         step = (i + 1) * env_steps_per
         if args.log_every and (i + 1) % args.log_every == 0:
             run.log(

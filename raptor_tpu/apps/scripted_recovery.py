@@ -40,7 +40,12 @@ from raptor_tpu.env.types import InitConfig
 
 def rollout(env: L2F, params, key, m, **gains):
     """Standard-env rollout driven by the scripted controller; returns the
-    same (alive, snapshot) contract as apps.failure_modes.probe."""
+    same (alive, snapshot) contract as apps.failure_modes.probe.
+
+    Gains may be python floats (baked constants) or jnp scalars traced
+    through an enclosing jit — the grid sweep passes traced scalars so
+    every configuration shares ONE compiled program (axon compiles are
+    minutes; NOTES.md gotcha 1)."""
     v_reset, _ = env.vector_ops()
     v_dstep = jax.vmap(env.dynamics_step, in_axes=(0, 0, 0, 0))
     v_term = jax.vmap(env.terminated, in_axes=(0, 0))
@@ -99,13 +104,37 @@ def main(argv=None):
     p.add_argument("--n-airframes", type=int, default=32)
     p.add_argument("--envs-per", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adaptive", action="store_true",
+                   help="per-airframe (w_cap, k_w) caps for the low-TWR/"
+                        "slow-motor tail (env.recovery.adaptive_gain_caps; "
+                        "MIGRATION §6 lever 3)")
+    p.add_argument("--c-flip", type=float, default=1.0)
+    p.add_argument("--c-lag", type=float, default=0.8)
+    p.add_argument("--c-bw", type=float, default=1.5)
+    p.add_argument("--grid", default=None,
+                   help="semicolon list of adaptive 'c_flip:c_lag:c_bw' "
+                        "configs swept in ONE process with traced gain "
+                        "scalars (a single compiled program); implies "
+                        "--adaptive. Example: '1:0.8:1.5;1:0.6:1.0'")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    report = {"angle": args.angle, "controller": "geometric flip-arrest-hover"}
+    if args.grid:
+        configs = []
+        for item in args.grid.split(";"):
+            cf, cl, cb = (float(x) for x in item.split(":"))
+            configs.append(dict(c_flip=cf, c_lag=cl, c_bw=cb))
+    elif args.adaptive:
+        configs = [dict(c_flip=args.c_flip, c_lag=args.c_lag, c_bw=args.c_bw)]
+    else:
+        configs = [None]
+
+    report = {"angle": args.angle, "controller": "geometric flip-arrest-hover",
+              "adaptive": configs[0] is not None, "runs": []}
+    env = L2F(EnvConfig(init=InitConfig(max_angle=args.angle)))
+    key = jax.random.key(args.seed)
+    m = args.n_airframes * args.envs_per
     for tag, airframe in [("aggregate", "random"), ("crazyflie", "crazyflie")]:
-        env = L2F(EnvConfig(init=InitConfig(max_angle=args.angle)))
-        key = jax.random.key(args.seed)
         if airframe == "random":
             frames = sample_population(jax.random.fold_in(key, 7), args.n_airframes)
             params = jax.tree.map(
@@ -119,19 +148,36 @@ def main(argv=None):
                 ),
                 one,
             )
-        m = args.n_airframes * args.envs_per
-        alive, snap = jax.jit(lambda k, pp=params: rollout(env, pp, k, m))(key)
-        alive, snap = jax.tree.map(np.asarray, (alive, snap))
-        died = snap["t"] >= 0
-        report[tag] = {
-            "episodes": m,
-            "share_terminated": float(died.mean()),
-            "mean_survival": float(
-                np.where(died, snap["t"], env.EPISODE_LENGTH).mean()
-            ),
-            "cause/position": float(snap["pos_hit"][died].mean()) if died.any() else None,
-            "cause/angular_rate": float(snap["w_hit"][died].mean()) if died.any() else None,
-        }
+        if configs[0] is None:
+            run = jax.jit(lambda k, pp=params: rollout(env, pp, k, m))
+            outs = [(None, run(key))]
+        else:
+            run = jax.jit(
+                lambda k, g, pp=params: rollout(env, pp, k, m, adaptive=True,
+                                                **g)
+            )
+            outs = [
+                (cfg, run(key, {kk: jnp.float32(v) for kk, v in cfg.items()}))
+                for cfg in configs
+            ]
+        for cfg, (alive, snap) in outs:
+            alive, snap = jax.tree.map(np.asarray, (alive, snap))
+            died = snap["t"] >= 0
+            entry = {
+                "airframes": tag,
+                "gains": cfg or "fixed (round-4 sweep optimum)",
+                "episodes": m,
+                "share_terminated": float(died.mean()),
+                "mean_survival": float(
+                    np.where(died, snap["t"], env.EPISODE_LENGTH).mean()
+                ),
+                "cause/position": float(snap["pos_hit"][died].mean()) if died.any() else None,
+                "cause/angular_rate": float(snap["w_hit"][died].mean()) if died.any() else None,
+            }
+            report["runs"].append(entry)
+            if len(configs) == 1:
+                report[tag] = {k: v for k, v in entry.items()
+                               if k not in ("airframes", "gains")}
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:

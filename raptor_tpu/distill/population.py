@@ -148,6 +148,18 @@ def make_population_multi_step(
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def make_population_demo_collect(
+    env: L2F, run_cfg: runner.RunnerConfig, adaptive: bool = False
+):
+    """jit(vmap(collect_scripted)) — one demonstration-collection step for
+    every teacher (DDPGfD replay seeding, MIGRATION §6 lever 1b)."""
+
+    def member(state, params):
+        return runner.collect_scripted(state, env, params, run_cfg, adaptive)
+
+    return jax.jit(jax.vmap(member), donate_argnums=(0,))
+
+
 def make_population_warmup(env: L2F, run_cfg: runner.RunnerConfig):
     def member_warmup(state, params):
         return runner.collect(state, env, params, run_cfg, random_actions=True)

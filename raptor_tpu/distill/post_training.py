@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -84,7 +85,30 @@ class DistillConfig:
     # demonstrator already beats every learned policy at pi starts
     # (artifacts/scripted_recovery.json: 28.5% vs ~39% termination).
     # 0 = off (labels are pure teacher actions, reference behavior).
+    # Note (ADVICE r4): during beta-mixed collect rounds the label is also
+    # the EXECUTED action, so severe states additionally roll out under the
+    # scripted controller for the beta fraction of steps.
     demo_tilt: float = 0.0
+    # --- demonstrator-DRIVEN collect episodes (round 5, VERDICT r4 item 1):
+    # the round-4 demo640 run measured ~null because labels were only
+    # attached to states the STUDENT visits — and a student that cannot
+    # flip never visits the expert's mid-recovery states (DAgger needs
+    # state coverage under a competent controller). This routes the first
+    # round(frac * M) envs of every teacher's block to execute the
+    # scripted demonstrator for the WHOLE collect (all rounds, independent
+    # of beta): their trajectories traverse the full flip-arrest-hover
+    # sequence, labeled demo-above-tilt / teacher-below as usual.
+    demo_rollout_frac: float = 0.0
+    # per-airframe adaptive demonstrator gain caps (env.recovery.
+    # adaptive_gain_caps; MIGRATION §6 lever 3) for both labels and
+    # demo-driven execution.
+    demo_adaptive: bool = False
+    # --- severe-state loss weighting (round 5): frames whose tilt exceeds
+    # severe_tilt get weight severe_weight in the BPTT MSE (normalized by
+    # total weight). 1.0 = off. Tilt is read from the stored observation's
+    # rotation-matrix R22 channel (obs[..., 11]), so no schema change.
+    severe_weight: float = 1.0
+    severe_tilt: float = 1.2
 
 
 class RoundData(NamedTuple):
@@ -128,6 +152,16 @@ def teacher_mix(cfg: DistillConfig, round_idx: int) -> float:
     )
 
 
+def make_demo_fn(cfg: DistillConfig):
+    """Vmapped scripted-demonstrator action fn for this config's gain mode."""
+    from raptor_tpu.env.recovery import recovery_action
+
+    return jax.vmap(
+        functools.partial(recovery_action, adaptive=cfg.demo_adaptive),
+        in_axes=(0, 0),
+    )
+
+
 def make_labeler(env: L2F, cfg: DistillConfig):
     """Label function for one collect step: (teacher_actors [K],
     flat_params [K*M], obs_full [K*M, D], state [K*M]) -> labels [K*M, 4].
@@ -136,13 +170,24 @@ def make_labeler(env: L2F, cfg: DistillConfig):
     tilted beyond the threshold take the scripted recovery demonstrator's
     action instead (demonstration injection, docs/MIGRATION.md §6 —
     privileged state access is fine here: labels are training targets,
-    the student still only sees the 22-dim policy obs)."""
-    from raptor_tpu.env.recovery import recovery_action, tilt_angle
+    the student still only sees the 22-dim policy obs). During beta-mixed
+    collect rounds the label is ALSO the executed action (ADVICE r4), an
+    intentional DAgger-with-expert property.
 
-    v_demo = jax.vmap(recovery_action, in_axes=(0, 0))
+    `env` pins the expected privileged obs width (shape sanity only);
+    `demo_act` lets make_collect reuse one demonstrator evaluation for
+    both labeling and demo-driven execution."""
+    from raptor_tpu.env.recovery import tilt_angle
+
+    v_demo = make_demo_fn(cfg)
     v_tilt = jax.vmap(tilt_angle)
+    obs_dim = env.OBSERVATION_DIM
 
-    def label_fn(teacher_actors, flat_params, obs_full, state):
+    def label_fn(teacher_actors, flat_params, obs_full, state, demo_act=None):
+        assert obs_full.shape[-1] == obs_dim, (
+            f"labeler expects the privileged obs ({obs_dim}), "
+            f"got {obs_full.shape[-1]}"
+        )
         # obs_full [K*M, D] -> per-teacher mean action via vmap over K
         KM = obs_full.shape[0]
         K = jax.tree.leaves(teacher_actors)[0].shape[0]
@@ -150,9 +195,10 @@ def make_labeler(env: L2F, cfg: DistillConfig):
         act_k = jax.vmap(networks.actor_mean)(teacher_actors, obs_k)
         label = act_k.reshape(KM, -1)
         if cfg.demo_tilt > 0.0:
-            demo = v_demo(flat_params, state)
+            if demo_act is None:
+                demo_act = v_demo(flat_params, state)
             severe = (v_tilt(state.orientation) > cfg.demo_tilt)[:, None]
-            label = jnp.where(severe, demo, label)
+            label = jnp.where(severe, demo_act, label)
         return label
 
     return label_fn
@@ -164,6 +210,8 @@ def make_collect(env: L2F, cfg: DistillConfig):
     _, v_step = env.vector_ops()
     v_reset = jax.vmap(env.reset, in_axes=(0, 0))
     label_fn = make_labeler(env, cfg)
+    use_demo = cfg.demo_tilt > 0.0 or cfg.demo_rollout_frac > 0.0
+    v_demo = make_demo_fn(cfg) if use_demo else None
 
     def collect(student_params, teacher_actors, env_params, key, beta,
                 norm=None):
@@ -173,6 +221,12 @@ def make_collect(env: L2F, cfg: DistillConfig):
         flat_params = jax.tree.map(
             lambda x: x.reshape((K * M,) + x.shape[2:]), env_params
         )
+        # demonstrator-driven envs: the first d of each teacher's M-block
+        # execute the scripted expert for the whole collect (state coverage
+        # of the recovery trajectory; labels stay demo-above-tilt /
+        # teacher-below as for every other env)
+        d_per = int(round(cfg.demo_rollout_frac * M))
+        demo_driven = ((jnp.arange(K * M) % M) < d_per)[:, None]
         es, obs = v_reset(jax.random.split(k_reset, K * M), flat_params)
         h0 = student_net.initial_hidden(student_params, K * M)
 
@@ -181,13 +235,17 @@ def make_collect(env: L2F, cfg: DistillConfig):
             h_new, student_action = student_net.apply_step(
                 student_params, h, _norm_obs(obs[..., :POLICY_OBS_DIM], norm)
             )
-            label = label_fn(teacher_actors, flat_params, obs, es.dynamics)
+            demo_act = v_demo(flat_params, es.dynamics) if use_demo else None
+            label = label_fn(teacher_actors, flat_params, obs, es.dynamics,
+                             demo_act)
             use_teacher = (
                 jax.random.uniform(key_t, (K * M, 1)) < beta
             ).astype(jnp.float32)
             action = use_teacher * label + (1.0 - use_teacher) * jnp.clip(
                 student_action, -1.0, 1.0
             )
+            if d_per > 0:
+                action = jnp.where(demo_driven, demo_act, action)
             es2, next_obs, reward, done, info = v_step(flat_params, es, action)
             # where the env auto-reset, restart the student hidden state
             reset = done.astype(jnp.float32)
@@ -318,22 +376,51 @@ def bptt_actions(student_params, obs, reset, norm=None):
     return actions
 
 
-def bptt_loss(student_params, obs, teacher_action, reset, norm=None):
-    """Scalar MSE of bptt_actions vs teacher labels."""
+# rotation-matrix R22 channel of the 22-dim policy obs (position 3 dims,
+# then row-major R at 3..11): tilt > t  <=>  obs[..., 11] < cos(t)
+_R22 = 11
+
+
+def severe_mask(obs: jnp.ndarray, tilt: float) -> jnp.ndarray:
+    """Boolean [...,]: frames whose body-z tilt exceeds `tilt` rad, read
+    directly from the RAW (un-normalized) stored policy observation."""
+    return obs[..., _R22] < math.cos(tilt)
+
+
+def bptt_loss(student_params, obs, teacher_action, reset, norm=None,
+              severe_weight: float = 1.0, severe_tilt: float = 1.2):
+    """Scalar MSE of bptt_actions vs teacher labels.
+
+    With severe_weight != 1, frames tilted past severe_tilt get that
+    weight in a weight-normalized MSE (round-5 lever: the demo-labeled
+    severe subset is a tiny fraction of mostly-hover frames, so the
+    unweighted loss barely prices it)."""
     actions = bptt_actions(student_params, obs, reset, norm)
-    return jnp.mean((actions - teacher_action) ** 2)
+    err2 = (actions - teacher_action) ** 2
+    if severe_weight != 1.0:
+        w = jnp.where(severe_mask(obs, severe_tilt), severe_weight, 1.0)
+        return jnp.sum(err2 * w[..., None]) / (
+            jnp.maximum(jnp.sum(w), 1.0) * err2.shape[-1]
+        )
+    return jnp.mean(err2)
 
 
-def make_diagnostics(env: L2F, n_probe_teachers: int = 8, probe_cols: int = 64):
+def make_diagnostics(env: L2F, n_probe_teachers: int = 8, probe_cols: int = 64,
+                     severe_tilt: float = 1.2):
     """Per-round loss decomposition (VERDICT r2 item 2: the 17-20x gap
     between our final distillation loss and the reference tfevents'
     `loss`=0.022 needs a measured explanation).
 
     Returns two jitted probes:
 
-    - fresh(student, RoundData, norm) -> {loss_fresh, mse_dim[4]}: the loss
+    - fresh(student, RoundData, norm) -> {loss_fresh, mse_dim[4],
+      severe_frac, severe_frac_probe, loss_severe, loss_hover}: the loss
       on the JUST-collected on-policy round (vs the reservoir mixture the
-      training loss is computed on) plus its per-action-dim split.
+      training loss is computed on), its per-action-dim split, and the
+      round-5 demo-injection instrumentation (VERDICT r4 item 1): what
+      fraction of ALL collected frames is tilted past severe_tilt (i.e.
+      would take a demo label), and the student's fit on that subset vs
+      the hover rest.
     - disagreement(teacher_actors_sub [N], airframes_sub [N], obs [T,C,22])
       -> scalar: mean variance across N teachers each labeling the SAME
       policy-observations with its OWN privileged tail. The student only
@@ -349,9 +436,21 @@ def make_diagnostics(env: L2F, n_probe_teachers: int = 8, probe_cols: int = 64):
         rst = data.reset[:, :probe_cols]
         actions = bptt_actions(student_params, obs, rst, norm)
         err2 = (actions - lab) ** 2
+        sev = severe_mask(obs, severe_tilt).astype(jnp.float32)  # [T, C]
+        n_sev = jnp.sum(sev)
+        per_frame = jnp.mean(err2, axis=-1)  # [T, C]
         return {
             "loss_fresh": jnp.mean(err2),
             "mse_dim": jnp.mean(err2, axis=(0, 1)),
+            # fraction over the WHOLE round (not just probe columns):
+            # counting is free and severe frames can be rare
+            "severe_frac": jnp.mean(
+                severe_mask(data.obs, severe_tilt).astype(jnp.float32)
+            ),
+            "severe_frac_probe": jnp.mean(sev),
+            "loss_severe": jnp.sum(per_frame * sev) / jnp.maximum(n_sev, 1.0),
+            "loss_hover": jnp.sum(per_frame * (1.0 - sev))
+            / jnp.maximum(jnp.sum(1.0 - sev), 1.0),
         }
 
     def disagreement(teacher_actors_sub, airframes_sub, obs):
@@ -461,7 +560,8 @@ def make_train_from_aggregate(cfg: DistillConfig):
             lab = agg.teacher_action[:, bidx].astype(jnp.float32)
             rst = agg.reset[:, bidx].astype(jnp.float32)
             loss, grads = jax.value_and_grad(bptt_loss)(
-                params, obs, lab, rst, norm
+                params, obs, lab, rst, norm,
+                cfg.severe_weight, cfg.severe_tilt,
             )
             updates, opt = optim.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
@@ -495,7 +595,8 @@ def make_train_epoch(cfg: DistillConfig):
             lab = data.teacher_action[:, idx]
             rst = data.reset[:, idx]
             loss, grads = jax.value_and_grad(bptt_loss)(
-                params, obs, lab, rst, norm
+                params, obs, lab, rst, norm,
+                cfg.severe_weight, cfg.severe_tilt,
             )
             updates, opt = optim.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
@@ -559,7 +660,10 @@ def distill(
         subsample = None
 
     if cfg.diagnostics:
-        diag_fresh, diag_disagree = make_diagnostics(env)
+        diag_fresh, diag_disagree = make_diagnostics(
+            env, severe_tilt=(cfg.demo_tilt if cfg.demo_tilt > 0.0
+                              else cfg.severe_tilt)
+        )
         n_probe = min(8, K_total)
 
         @jax.jit
@@ -633,6 +737,9 @@ def distill(
                        grad_step)
             log_fn("diagnostics/teacher_disagreement", float(spread),
                    grad_step)
+            for tag in ("severe_frac", "severe_frac_probe", "loss_severe",
+                        "loss_hover"):
+                log_fn(f"diagnostics/{tag}", float(fresh[tag]), grad_step)
         if round_hook is not None:
             round_hook(r, folded(student), env_steps)
     return folded(student), loss_history

@@ -48,6 +48,48 @@ def tilt_angle(orientation: jnp.ndarray) -> jnp.ndarray:
     return jnp.arccos(jnp.clip(R[2, 2], -1.0, 1.0))
 
 
+def adaptive_gain_caps(
+    params: DynamicsParams,
+    w_cap: float,
+    k_w: float,
+    c_flip: float = 1.0,
+    c_lag: float = 0.8,
+    c_bw: float = 1.5,
+):
+    """Per-airframe caps on (w_cap, k_w) for the residual-failure tail.
+
+    The round-4 witness's failures are 100% low-TWR (~1.5) slow-motor
+    (~100 ms) frames (artifacts/scripted_recovery.json; RESULTS §round 4):
+    the fixed gains command rate ramps those airframes cannot track, the
+    rotors saturate, and saturated allocation corrupts the collective
+    thrust. Three physics-derived caps (MIGRATION §6 lever 3):
+
+    - flip authority: peak rate of a bang-bang flip at angular accel
+      alpha is ~sqrt(alpha * theta); cap w at c_flip * sqrt(alpha_max)
+      with alpha_max = differential-thrust torque budget / inertia.
+    - motor lag, rate cap: arresting from w takes w/alpha seconds of
+      reversed torque; a first-order rotor lag T_m delays that reversal,
+      so w must stay under ~c_lag / T_m for the arrest to fit.
+    - motor lag, loop bandwidth: the rate-PD gain k_w closes a loop
+      through the T_m lag; keep k_w under ~c_bw / T_m.
+
+    Nominal (fast-motor, high-TWR) frames are unaffected: their caps sit
+    above the fixed sweep-optimal gains."""
+    t_min = rotor_thrusts(params, params.rpm_min)
+    t_max = rotor_thrusts(params, params.rpm_max)
+    d = params.rotor_thrust_directions
+    arm = jnp.cross(params.rotor_positions, d)  # [4,3] torque arm / thrust
+    dthr = 0.5 * (t_max - t_min)  # max per-rotor thrust deviation from mid
+    tau_cap = jnp.sum(jnp.abs(arm[:, :2]), axis=0) * dthr  # [2] roll/pitch
+    alpha_max = jnp.min(tau_cap / params.inertia_diag[:2])
+    tm = jnp.maximum(params.motor_time_constant, 1e-4)
+    w_cap_eff = jnp.minimum(
+        jnp.minimum(w_cap, c_flip * jnp.sqrt(alpha_max)), c_lag / tm
+    )
+    k_w_eff = jnp.minimum(k_w, c_bw / tm)
+    return w_cap_eff, k_w_eff
+
+
 def recovery_action(
     params: DynamicsParams,
     state: State,
@@ -57,8 +99,14 @@ def recovery_action(
     kp_p: float = 7.0,
     kd_p: float = 4.5,
     tilt_gate: float = 1.2,  # rad: above this, target pure upright
+    adaptive: bool = False,  # per-airframe (w_cap, k_w) caps, see above
+    c_flip: float = 1.0,
+    c_lag: float = 0.8,
+    c_bw: float = 1.5,
 ) -> jnp.ndarray:
     """One action [4] in [-1,1] from privileged state (single env)."""
+    if adaptive:
+        w_cap, k_w = adaptive_gain_caps(params, w_cap, k_w, c_flip, c_lag, c_bw)
     R = quat_to_rotm(state.orientation)  # body -> world
     z_b = R[:, 2]
     z_w = jnp.array([0.0, 0.0, 1.0], jnp.float32)

@@ -173,6 +173,58 @@ def collect(
     )
 
 
+def collect_scripted(
+    state: TrainerState,
+    env: L2F,
+    params: DynamicsParams,
+    run_cfg: RunnerConfig,
+    adaptive: bool = False,
+) -> TrainerState:
+    """DDPGfD-style demonstration collection (docs/MIGRATION.md §6 lever
+    1b): roll H steps under the scripted recovery demonstrator
+    (env.recovery) instead of the SAC actor and write the transitions into
+    the replay ring, so teacher critics learn the fast flip's value — the
+    maneuver SAC exploration never finds (RESULTS §round-4 failure-mode
+    diagnosis). The reference has no analog: its teachers never see
+    demonstrations (SURVEY §4.3). Combine with an init-severity curriculum
+    (InitConfig.angle_power) so the demonstrations start from the severe
+    attitudes whose values need learning."""
+    import functools as _ft
+
+    from raptor_tpu.env.recovery import recovery_action
+
+    v_demo = jax.vmap(
+        _ft.partial(recovery_action, adaptive=adaptive), in_axes=(0, 0)
+    )
+    _, v_step = env.vector_ops()
+
+    def body(carry, _):
+        es, obs = carry
+        action = v_demo(params, es.dynamics)
+        es, next_obs, reward, done, info = v_step(params, es, action)
+        transition = (
+            obs,
+            action,
+            reward,
+            info["final_obs"],
+            info["terminated"].astype(jnp.float32),
+        )
+        return (es, next_obs), transition
+
+    (es, obs), (o, a, r, no, d) = jax.lax.scan(
+        body, (state.env_state, state.obs), None,
+        length=run_cfg.rollout_length,
+    )
+    buffer = replay.transition_buffer_add_rollout(state.buffer, o, a, r, no, d)
+    return state.replace(
+        buffer=buffer,
+        env_state=es,
+        obs=obs,
+        total_env_steps=state.total_env_steps
+        + run_cfg.rollout_length * run_cfg.n_envs,
+    )
+
+
 def train(
     state: TrainerState,
     run_cfg: RunnerConfig,

@@ -70,3 +70,31 @@ def test_scripted_beats_passive_at_pi():
     # a passive/hover policy dies in well under a second from inverted
     # starts; the scripted controller must do far better on average
     assert survival.mean() > 200
+
+
+def test_adaptive_gain_caps_nominal_vs_slow_motor():
+    """Adaptive caps leave a nominal (fast-motor) airframe's gains alone
+    and reduce them for a slow-motor frame; the resulting actions stay
+    finite and bounded (round-5 MIGRATION §6 lever 3)."""
+    import dataclasses
+
+    from raptor_tpu.env.recovery import adaptive_gain_caps, recovery_action
+    from raptor_tpu.env.types import State
+
+    p = presets.crazyflie()  # ~ms-scale motors, high torque authority
+    w_cap, k_w = adaptive_gain_caps(p, 10.0, 30.0)
+    assert float(w_cap) == 10.0 and float(k_w) == 30.0
+
+    slow = p.replace(motor_time_constant=jnp.float32(0.12))
+    w_cap_s, k_w_s = adaptive_gain_caps(slow, 10.0, 30.0)
+    assert float(w_cap_s) < 10.0 and float(k_w_s) < 30.0
+
+    state = State(
+        position=jnp.zeros(3),
+        orientation=jnp.array([0.0, 1.0, 0.0, 0.0]),  # inverted
+        linear_velocity=jnp.zeros(3),
+        angular_velocity=jnp.zeros(3),
+        rpm=jnp.broadcast_to(dynamics.hover_rpm(slow), (4,)),
+    )
+    act = np.asarray(recovery_action(slow, state, adaptive=True))
+    assert np.all(np.isfinite(act)) and np.all(np.abs(act) <= 1.0)
