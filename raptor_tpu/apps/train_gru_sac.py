@@ -53,10 +53,28 @@ def main(argv=None):
                         "restores the round-3 symmetric learner")
     p.add_argument("--critic-hidden", type=int, default=0,
                    help="critic GRU width (0 = same as actor hidden_dim)")
+    p.add_argument("--init-actor", default=None,
+                   help="RL fine-tuning (MIGRATION §6 lever 4): initialize "
+                        "the actor backbone from a distilled student .h5 "
+                        "(reference schema). dense_0/gru_1 copy exactly; "
+                        "the student's 4-dim head becomes the mu half of "
+                        "the squashed-Gaussian head (log-std half starts "
+                        "at --init-log-std). Note tanh(mu) mildly "
+                        "compresses the student's clip(identity) actions")
+    p.add_argument("--init-log-std", type=float, default=-2.0)
+    p.add_argument("--actor-lr", type=float, default=3e-4)
+    p.add_argument("--critic-lr", type=float, default=3e-4)
+    p.add_argument("--init-angle-power", type=float, default=1.0,
+                   help="training-init severity exponent "
+                        "(types.InitConfig.angle_power); >1 oversamples "
+                        "severe starts for recovery fine-tuning")
     p.add_argument("--experiments-dir", default="experiments")
     args = p.parse_args(argv)
 
-    env = L2F(EnvConfig())
+    import dataclasses as _dc0
+
+    env = L2F(EnvConfig(init=_dc0.replace(
+        EnvConfig().init, angle_power=args.init_angle_power)))
     if args.eval_max_angle > 0:
         import dataclasses as _dc
 
@@ -79,11 +97,38 @@ def main(argv=None):
         actor_obs_dim=(run_cfg.actor_obs_dim if args.privileged_critics
                        else None),
         critic_hidden_dim=args.critic_hidden or None,
+        actor_lr=args.actor_lr,
+        critic_lr=args.critic_lr,
     )
     key = jax.random.key(args.seed)
     k_pop, k_init, k_eval = jax.random.split(key, 3)
     params = sample_population(k_pop, args.n_envs)
     state = runner_gru.gru_trainer_init(k_init, env, params, run_cfg, cfg)
+    if args.init_actor:
+        # fine-tune from a distilled student (MIGRATION §6 lever 4): copy
+        # the backbone, graft the 4-dim head onto the mu half, start the
+        # log-std half at a conservative constant, and re-init the actor
+        # optimizer for the new parameters.
+        import jax.numpy as jnp
+
+        student = jax.tree.map(jnp.asarray, ckpt_h5.load_actor(args.init_actor))
+        actor = state.learner.actor
+        assert (student["gru_1"]["initial_hidden_state"].shape
+                == actor["gru_1"]["initial_hidden_state"].shape), (
+            "student hidden width must match the SAC actor's")
+        w2, b2 = actor["dense_2"]["weights"], actor["dense_2"]["biases"]
+        w2 = w2.at[: env.ACTION_DIM].set(student["dense_2"]["weights"])
+        w2 = w2.at[env.ACTION_DIM:].set(0.0)
+        b2 = b2.at[: env.ACTION_DIM].set(student["dense_2"]["biases"])
+        b2 = b2.at[env.ACTION_DIM:].set(args.init_log_std)
+        new_actor = {
+            "dense_0": student["dense_0"],
+            "gru_1": student["gru_1"],
+            "dense_2": {"weights": w2, "biases": b2},
+        }
+        a_optim = sac_gru._optims(cfg)[0]
+        state = state.replace(learner=state.learner.replace(
+            actor=new_actor, actor_opt=a_optim.init(new_actor)))
     if args.steps_per_call > 1:
         super_step = runner_gru.make_gru_multi_step(
             env, run_cfg, cfg, args.steps_per_call
