@@ -256,6 +256,19 @@ VARIANTS = [
     ("k128_rowsample_bf16_unroll10", dict(
         n_teachers=128, unroll=True, sample_rows=True,
         sac_kwargs=dict(compute_dtype="bfloat16"))),
+    # --- round-5 K-geometry retest under rows (VERDICT r4 weak #4): the
+    # round-3 "K=256 gives no per-teacher gain (chip saturated)"
+    # conclusion predates the gather fix — the chip was saturated BY the
+    # gather. Re-measure whether the population axis now scales.
+    ("k256_rowsample_unroll10", dict(
+        n_teachers=256, unroll=True, sample_rows=True)),
+    ("k512_rowsample_unroll10", dict(
+        n_teachers=512, unroll=True, sample_rows=True,
+        replay_capacity=1024)),
+    # collect share under rows (was 4% pre-fix; if train got 1.88x faster
+    # the split moved)
+    ("k128_rowsample_collect_only", dict(
+        n_teachers=128, mode="collect", sample_rows=True)),
 ]
 
 

@@ -111,6 +111,13 @@ def main(argv=None):
     p.add_argument("--c-flip", type=float, default=1.0)
     p.add_argument("--c-lag", type=float, default=0.8)
     p.add_argument("--c-bw", type=float, default=1.5)
+    p.add_argument("--w-cap", type=float, default=10.0,
+                   help="base w_cap ceiling; set very high with --adaptive "
+                        "to make the per-airframe physics caps THE gains "
+                        "(they can then exceed the fixed optimum on "
+                        "high-authority frames)")
+    p.add_argument("--k-w", type=float, default=30.0,
+                   help="base rate-PD gain ceiling (see --w-cap)")
     p.add_argument("--grid", default=None,
                    help="semicolon list of adaptive 'c_flip:c_lag:c_bw' "
                         "configs swept in ONE process with traced gain "
@@ -130,7 +137,8 @@ def main(argv=None):
         configs = [None]
 
     report = {"angle": args.angle, "controller": "geometric flip-arrest-hover",
-              "adaptive": configs[0] is not None, "runs": []}
+              "adaptive": configs[0] is not None,
+              "w_cap": args.w_cap, "k_w": args.k_w, "runs": []}
     env = L2F(EnvConfig(init=InitConfig(max_angle=args.angle)))
     key = jax.random.key(args.seed)
     m = args.n_airframes * args.envs_per
@@ -149,12 +157,18 @@ def main(argv=None):
                 one,
             )
         if configs[0] is None:
-            run = jax.jit(lambda k, pp=params: rollout(env, pp, k, m))
+            run = jax.jit(
+                lambda k, pp=params: rollout(env, pp, k, m, w_cap=args.w_cap,
+                                             k_w=args.k_w)
+            )
             outs = [(None, run(key))]
         else:
             run = jax.jit(
-                lambda k, g, pp=params: rollout(env, pp, k, m, adaptive=True,
-                                                **g)
+                lambda k, g, pp=params: rollout(
+                    env, pp, k, m, adaptive=True,
+                    w_cap=jnp.float32(args.w_cap), k_w=jnp.float32(args.k_w),
+                    **g,
+                )
             )
             outs = [
                 (cfg, run(key, {kk: jnp.float32(v) for kk, v in cfg.items()}))
