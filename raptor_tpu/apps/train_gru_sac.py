@@ -105,27 +105,12 @@ def main(argv=None):
     params = sample_population(k_pop, args.n_envs)
     state = runner_gru.gru_trainer_init(k_init, env, params, run_cfg, cfg)
     if args.init_actor:
-        # fine-tune from a distilled student (MIGRATION §6 lever 4): copy
-        # the backbone, graft the 4-dim head onto the mu half, start the
-        # log-std half at a conservative constant, and re-init the actor
-        # optimizer for the new parameters.
-        import jax.numpy as jnp
-
-        student = jax.tree.map(jnp.asarray, ckpt_h5.load_actor(args.init_actor))
-        actor = state.learner.actor
-        assert (student["gru_1"]["initial_hidden_state"].shape
-                == actor["gru_1"]["initial_hidden_state"].shape), (
-            "student hidden width must match the SAC actor's")
-        w2, b2 = actor["dense_2"]["weights"], actor["dense_2"]["biases"]
-        w2 = w2.at[: env.ACTION_DIM].set(student["dense_2"]["weights"])
-        w2 = w2.at[env.ACTION_DIM:].set(0.0)
-        b2 = b2.at[: env.ACTION_DIM].set(student["dense_2"]["biases"])
-        b2 = b2.at[env.ACTION_DIM:].set(args.init_log_std)
-        new_actor = {
-            "dense_0": student["dense_0"],
-            "gru_1": student["gru_1"],
-            "dense_2": {"weights": w2, "biases": b2},
-        }
+        # fine-tune from a distilled student (MIGRATION §6 lever 4); the
+        # actor optimizer re-initializes for the grafted parameters.
+        new_actor = sac_gru.graft_actor_from_student(
+            state.learner.actor, ckpt_h5.load_actor(args.init_actor),
+            env.ACTION_DIM, args.init_log_std,
+        )
         a_optim = sac_gru._optims(cfg)[0]
         state = state.replace(learner=state.learner.replace(
             actor=new_actor, actor_opt=a_optim.init(new_actor)))

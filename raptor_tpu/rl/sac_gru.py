@@ -142,6 +142,33 @@ def sac_gru_init(
     )
 
 
+def graft_actor_from_student(actor: dict, student: dict, action_dim: int,
+                             init_log_std: float = -2.0) -> dict:
+    """Initialize a squashed-Gaussian GRU actor from a distilled student
+    (RL fine-tuning, docs/MIGRATION.md §6 lever 4).
+
+    dense_0/gru_1 copy exactly; the student's action head becomes the mu
+    half of the 2*action_dim head (log-std half: zero weights, constant
+    init_log_std bias). The student's deployed contract is
+    clip(identity) while the SAC actor deploys tanh(mu), so the grafted
+    policy's actions are tanh-compressed relative to the student's —
+    exact for small actions, ~20% shrunk near |a|=0.9."""
+    student = jax.tree.map(jnp.asarray, student)
+    assert (student["gru_1"]["initial_hidden_state"].shape
+            == actor["gru_1"]["initial_hidden_state"].shape), (
+        "student hidden width must match the SAC actor's")
+    w2, b2 = actor["dense_2"]["weights"], actor["dense_2"]["biases"]
+    w2 = w2.at[:action_dim].set(student["dense_2"]["weights"])
+    w2 = w2.at[action_dim:].set(0.0)
+    b2 = b2.at[:action_dim].set(student["dense_2"]["biases"])
+    b2 = b2.at[action_dim:].set(init_log_std)
+    return {
+        "dense_0": student["dense_0"],
+        "gru_1": student["gru_1"],
+        "dense_2": {"weights": w2, "biases": b2},
+    }
+
+
 def _optims(config: SACGRUConfig):
     return (
         optax.adam(config.actor_lr),

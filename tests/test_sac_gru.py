@@ -184,3 +184,33 @@ def test_burn_in_masks_losses_but_warms_hidden():
     s4, m4 = sac_gru.sac_gru_update(state, jax.random.key(2), b1, cfg0)
     s5, m5 = sac_gru.sac_gru_update(state, jax.random.key(2), b2, cfg0)
     assert float(m4.critic_loss) != float(m5.critic_loss)
+
+
+def test_graft_actor_from_student_matches_tanh_of_student():
+    """RL fine-tuning init (MIGRATION §6 lever 4): the grafted actor's
+    deterministic action tanh(mu) equals tanh(student raw output) at every
+    state, and the initial policy std is exp(init_log_std) everywhere."""
+    import numpy as np
+
+    from raptor_tpu.policy import network as gru_net
+
+    cfg = sac_gru.SACGRUConfig()
+    learner = sac_gru.sac_gru_init(jax.random.key(0), 22, 4, cfg)
+    student = gru_net.init_params(jax.random.key(1))
+    actor = sac_gru.graft_actor_from_student(learner.actor, student, 4,
+                                             init_log_std=-2.0)
+    T, B = 7, 3
+    obs = jax.random.normal(jax.random.key(2), (T, B, 22)) * 0.5
+    reset = jnp.zeros((T, B)).at[0].set(1.0)
+    mu, log_std = sac_gru.actor_forward(actor, obs, reset, cfg)
+    # student forward over the same sequence
+    h = gru_net.initial_hidden(student, B)
+    outs = []
+    for t in range(T):
+        h, a = gru_net.apply_step(student, h, obs[t])
+        outs.append(a)
+    raw = jnp.stack(outs)
+    np.testing.assert_allclose(
+        np.asarray(jnp.tanh(mu)), np.asarray(jnp.tanh(raw)), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(log_std), -2.0, atol=1e-6)
