@@ -149,6 +149,13 @@ def main(argv=None):
                         "0 = off. The eval-parity protocol (max_angle 1.0) "
                         "stays below any sensible threshold, so parity "
                         "tags measure the unchanged hover behavior")
+    p.add_argument("--demo-rate", type=float, default=0.0,
+                   help="extend the demo-label criterion to tilt > "
+                        "--demo-tilt OR |w| > this (rad/s): covers the "
+                        "demonstrator's arrest phase, whose states are "
+                        "upright-ish but fast — teacher labels there are "
+                        "extrapolation garbage (round-5 demoDiag "
+                        "diagnosis). 0 = tilt-only")
     p.add_argument("--demo-rollout-frac", type=float, default=0.0,
                    help="fraction of each teacher's collect envs EXECUTED "
                         "by the scripted demonstrator for the whole run "
@@ -199,6 +206,7 @@ def main(argv=None):
         diagnostics=args.diagnostics,
         student_hidden=args.student_hidden,
         demo_tilt=args.demo_tilt,
+        demo_rate=args.demo_rate,
         demo_rollout_frac=args.demo_rollout_frac,
         demo_adaptive=args.demo_adaptive,
         severe_weight=args.severe_weight,

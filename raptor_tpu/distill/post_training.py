@@ -89,6 +89,15 @@ class DistillConfig:
     # the EXECUTED action, so severe states additionally roll out under the
     # scripted controller for the beta fraction of steps.
     demo_tilt: float = 0.0
+    # Rate criterion for demo labels (round 5): the demoDiag instrumented
+    # run measured severe_frac 12-26% and loss_severe ~5x BELOW loss_hover
+    # — labels are plentiful and well-fit, so the null result must live in
+    # the COMPOSITE policy: with a tilt-only switch, mid-recovery arrest
+    # states (tilt already < demo_tilt but |w| ~ 8-10 rad/s) take teacher
+    # labels, and teachers never visit high-rate states. demo_rate > 0
+    # extends the demo-label criterion to tilt > demo_tilt OR |w| >
+    # demo_rate, covering the demonstrator's own arrest phase.
+    demo_rate: float = 0.0
     # --- demonstrator-DRIVEN collect episodes (round 5, VERDICT r4 item 1):
     # the round-4 demo640 run measured ~null because labels were only
     # attached to states the STUDENT visits — and a student that cannot
@@ -197,8 +206,13 @@ def make_labeler(env: L2F, cfg: DistillConfig):
         if cfg.demo_tilt > 0.0:
             if demo_act is None:
                 demo_act = v_demo(flat_params, state)
-            severe = (v_tilt(state.orientation) > cfg.demo_tilt)[:, None]
-            label = jnp.where(severe, demo_act, label)
+            severe = v_tilt(state.orientation) > cfg.demo_tilt
+            if cfg.demo_rate > 0.0:
+                severe = severe | (
+                    jnp.sum(state.angular_velocity**2, axis=-1)
+                    > cfg.demo_rate**2
+                )
+            label = jnp.where(severe[:, None], demo_act, label)
         return label
 
     return label_fn

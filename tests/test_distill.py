@@ -538,3 +538,50 @@ def test_population_demo_collect_seeds_replay(env):
         env, run_cfg, sac_cfg
     )(states, env_params)
     assert np.all(np.isfinite(np.asarray(metrics.critic_loss)))
+
+
+def test_demo_rate_label_criterion(env):
+    """demo_rate extends demo labeling to upright-but-fast states (the
+    demonstrator's arrest phase): a state with tilt < demo_tilt but |w| >
+    demo_rate takes the demo label; slow upright states keep the teacher's
+    (round-5 demoDiag diagnosis)."""
+    from raptor_tpu.env.recovery import recovery_action
+
+    K, M = 2, 4
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    env_params = population.broadcast_airframe_to_envs(airframes, M)
+    flat = jax.tree.map(lambda x: x.reshape((K * M,) + x.shape[2:]), env_params)
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    # upright states, half slow / half spinning at 8 rad/s
+    es, obs = jax.vmap(env.reset)(
+        jax.random.split(jax.random.key(3), K * M), flat
+    )
+    st = es.dynamics
+    upright = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0, 0.0]), st.orientation.shape
+    )
+    w = jnp.zeros_like(st.angular_velocity)
+    w = w.at[::2, 0].set(8.0)  # even rows spin fast
+    st = st.replace(orientation=upright, angular_velocity=w,
+                    position=jnp.zeros_like(st.position))
+    # rebuild obs consistent with the modified state
+    obs = jax.vmap(env.observe_full)(flat, st) if hasattr(env, "observe_full") \
+        else obs
+    lab_tilt_only = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=1.2)
+    )(teachers, flat, obs, st)
+    lab_rate = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=1.2, demo_rate=5.0)
+    )(teachers, flat, obs, st)
+    demo = jax.vmap(recovery_action)(flat, st)
+    lab_tilt_only, lab_rate, demo = map(
+        np.asarray, (lab_tilt_only, lab_rate, demo)
+    )
+    # fast rows take the demo label under the rate criterion
+    np.testing.assert_allclose(lab_rate[::2], demo[::2], atol=1e-6)
+    # slow upright rows keep the teacher label in both modes
+    np.testing.assert_allclose(lab_rate[1::2], lab_tilt_only[1::2], atol=1e-6)
+    # tilt-only mode never fires on upright states
+    assert not np.allclose(lab_tilt_only[::2], demo[::2])
