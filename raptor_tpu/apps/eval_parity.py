@@ -22,6 +22,7 @@ ours-vs-reference comparisons.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 
 import jax
@@ -33,6 +34,33 @@ from raptor_tpu.env.types import InitConfig
 from raptor_tpu.rl import evaluation
 
 
+@functools.lru_cache(maxsize=None)
+def _eval_program(angle: float, m: int):
+    """Jitted eval with the policy params as a traced ARGUMENT.
+
+    Baking params as closure constants (the pre-round-5 shape) makes the
+    XLA program hash depend on the weights, so every new student re-pays
+    ~18 remote axon compiles (~90 s each = the old 27-min eval sweep).
+    With params as an input there are only 9 per-angle programs, compiled
+    once and persistent-cached for every later student (NOTES.md round-5).
+    One program serves both the shipped reference and any student because
+    the checkpoint pytrees share shapes.
+    """
+    cfg = EnvConfig(init=InitConfig(max_angle=angle))
+    env = L2F(cfg)
+    from raptor_tpu.policy import network as policy_net
+
+    @jax.jit
+    def run(policy_params, stacked, key):
+        def policy_step(h, obs):
+            return policy_net.apply_step(policy_params, h, obs[..., :22])
+
+        carry = policy_net.initial_hidden(policy_params, m)
+        return evaluation.evaluate(env, stacked, policy_step, carry, key, m)
+
+    return run
+
+
 def evaluate_at_angle(
     policy_params,
     angle: float,
@@ -42,20 +70,16 @@ def evaluate_at_angle(
     airframe: str = "random",
 ):
     """5-stat eval of a recurrent policy with initial attitude <= angle."""
-    cfg = EnvConfig(init=InitConfig(max_angle=angle))
-    env = L2F(cfg)
+    m = n_airframes * envs_per
     if airframe == "random":
         frames = sample_population(jax.random.fold_in(key, 7), n_airframes)
         stacked = jax.tree.map(lambda x: jnp.repeat(x, envs_per, axis=0), frames)
-        m = n_airframes * envs_per
     else:
         one = getattr(presets, airframe)()
-        m = n_airframes * envs_per
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (m,) + x.shape), one
         )
-    step_fn, carry = evaluation.gru_policy_step(policy_params, m)
-    return evaluation.evaluate(env, stacked, step_fn, carry, key, m)
+    return _eval_program(angle, m)(policy_params, stacked, key)
 
 
 def main(argv=None):
