@@ -162,6 +162,17 @@ def main(argv=None):
                         "(state coverage of the recovery trajectory — the "
                         "round-5 fix for the null demo640 measurement; "
                         "DistillConfig.demo_rollout_frac)")
+    p.add_argument("--demo-w-cap", type=float, default=10.0,
+                   help="demonstrator rate cap (999 + --demo-adaptive = "
+                        "physics-pure per-airframe caps)")
+    p.add_argument("--demo-k-w", type=float, default=30.0,
+                   help="demonstrator rate-PD gain ceiling")
+    p.add_argument("--demo-c-flip", type=float, default=1.0,
+                   help="adaptive cap: flip-authority coefficient")
+    p.add_argument("--demo-c-lag", type=float, default=0.8,
+                   help="adaptive cap: motor-lag arrest coefficient")
+    p.add_argument("--demo-c-bw", type=float, default=1.5,
+                   help="adaptive cap: rate-loop bandwidth coefficient")
     p.add_argument("--demo-adaptive", action="store_true",
                    help="per-airframe adaptive demonstrator gain caps "
                         "(env.recovery.adaptive_gain_caps) for demo labels "
@@ -209,6 +220,11 @@ def main(argv=None):
         demo_rate=args.demo_rate,
         demo_rollout_frac=args.demo_rollout_frac,
         demo_adaptive=args.demo_adaptive,
+        demo_w_cap=args.demo_w_cap,
+        demo_k_w=args.demo_k_w,
+        demo_c_flip=args.demo_c_flip,
+        demo_c_lag=args.demo_c_lag,
+        demo_c_bw=args.demo_c_bw,
         severe_weight=args.severe_weight,
         severe_tilt=args.severe_tilt,
     )

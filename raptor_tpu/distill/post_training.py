@@ -112,6 +112,18 @@ class DistillConfig:
     # adaptive_gain_caps; MIGRATION §6 lever 3) for both labels and
     # demo-driven execution.
     demo_adaptive: bool = False
+    # demonstrator gains. Defaults are the round-4 fixed-gain sweep
+    # optimum (28.5% agg / 14.5% cf at pi, artifacts/scripted_recovery
+    # .json). The round-5 PHYSICS-PURE mode (adaptive with w_cap/k_w set
+    # effectively unbounded so the per-airframe physics caps alone govern,
+    # c_flip 0.65 / c_lag 0.8 / c_bw 2.0) measured 26.9% agg / 5.1% cf
+    # (artifacts/scripted_recovery_physpure.json) — the labeler should use
+    # whatever demonstrator currently wins that sweep.
+    demo_w_cap: float = 10.0
+    demo_k_w: float = 30.0
+    demo_c_flip: float = 1.0
+    demo_c_lag: float = 0.8
+    demo_c_bw: float = 1.5
     # --- severe-state loss weighting (round 5): frames whose tilt exceeds
     # severe_tilt get weight severe_weight in the BPTT MSE (normalized by
     # total weight). 1.0 = off. Tilt is read from the stored observation's
@@ -166,7 +178,15 @@ def make_demo_fn(cfg: DistillConfig):
     from raptor_tpu.env.recovery import recovery_action
 
     return jax.vmap(
-        functools.partial(recovery_action, adaptive=cfg.demo_adaptive),
+        functools.partial(
+            recovery_action,
+            adaptive=cfg.demo_adaptive,
+            w_cap=cfg.demo_w_cap,
+            k_w=cfg.demo_k_w,
+            c_flip=cfg.demo_c_flip,
+            c_lag=cfg.demo_c_lag,
+            c_bw=cfg.demo_c_bw,
+        ),
         in_axes=(0, 0),
     )
 

@@ -391,6 +391,53 @@ def test_demo_label_injection(env):
     )
 
 
+def test_demo_gain_plumbing(env):
+    """DistillConfig demonstrator gains reach the labeler (round 5,
+    physics-pure mode): labels at severe states equal recovery_action
+    with the SAME gains, and the physics-pure labels differ from the
+    fixed-gain default on at least one severe state."""
+    import functools
+
+    from raptor_tpu.env.recovery import recovery_action, tilt_angle
+
+    K, M = 2, 4
+    airframes = population.sample_teacher_airframes(jax.random.key(0), K)
+    env_params = population.broadcast_airframe_to_envs(airframes, M)
+    flat = jax.tree.map(
+        lambda x: x.reshape((K * M,) + x.shape[2:]), env_params
+    )
+    teachers = jax.vmap(
+        lambda k: networks.actor_init(k, env.OBSERVATION_DIM, 4, (16, 16))
+    )(jax.random.split(jax.random.key(1), K))
+    es, obs = jax.vmap(env.reset)(
+        jax.random.split(jax.random.key(3), K * M), flat
+    )
+    state = es.dynamics
+    tilt = np.asarray(jax.vmap(tilt_angle)(state.orientation))
+    thresh = float(np.median(tilt))
+    severe = tilt > thresh
+    assert severe.any()
+
+    pure = dict(demo_adaptive=True, demo_w_cap=999.0, demo_k_w=999.0,
+                demo_c_flip=0.65, demo_c_lag=0.8, demo_c_bw=2.0)
+    lab_pure = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=thresh, **pure)
+    )(teachers, flat, obs, state)
+    direct = jax.vmap(
+        functools.partial(recovery_action, adaptive=True, w_cap=999.0,
+                          k_w=999.0, c_flip=0.65, c_lag=0.8, c_bw=2.0)
+    )(flat, state)
+    np.testing.assert_allclose(
+        np.asarray(lab_pure)[severe], np.asarray(direct)[severe], atol=1e-6
+    )
+    lab_fixed = post_training.make_labeler(
+        env, post_training.DistillConfig(demo_tilt=thresh)
+    )(teachers, flat, obs, state)
+    assert not np.allclose(
+        np.asarray(lab_pure)[severe], np.asarray(lab_fixed)[severe]
+    )
+
+
 def test_distill_student_hidden_ablation(env):
     """--student-hidden (capacity ablation, round 4): a non-default GRU
     width distills end-to-end, and the returned params carry the
