@@ -1,0 +1,218 @@
+#!/bin/bash
+# Round-5 session-3b — takes over from r05_session3.sh after its cap32
+# stage (the first two stages, demoRate7 + cap32, are identical in both
+# plans).  Inserted on the physics-pure demonstrator result
+# (artifacts/scripted_recovery_physpure.json: 26.2% agg / 5.1% cf at pi
+# vs 28.5%/14.5% fixed-gain): the labeler now accepts the pure gains
+# (post_training --demo-adaptive --demo-w-cap 999 ...), and a distill
+# with the much-better held-out demonstrator is the highest-value
+# remaining lever toward the cf >= 420 target.
+#
+#  1. demoRatePure: rate-5 labels x physics-pure demonstrator
+#  2. profile rows (VERDICT item 4)
+#  3. DDPGfD demo-seeded wave + pack + per-teacher eval (item 1 lever 1b)
+#  4. flagship: union(rec640 [+ demo2500]) x best measured flags
+#  5. RL fine-tune from the best student (item 6)
+set -u
+cd /root/repo
+END_TS=${1:?END_TS epoch}
+
+remaining() { echo $(( END_TS - $(date +%s) )); }
+stage_ok() {
+  local R; R=$(remaining)
+  if [ "$R" -gt "$1" ]; then
+    echo "=== stage $2 start (remaining ${R}s, est $1s) $(date) ==="
+    return 0
+  fi
+  echo "=== stage $2 SKIPPED (remaining ${R}s < est $1s) $(date) ==="
+  return 1
+}
+
+distill_stage() {
+  local PACK=$1 TAG=$2 TMO=$3; shift 3
+  local STAMP=/tmp/stamp_$TAG
+  touch "$STAMP"
+  timeout "$TMO" python -m raptor_tpu.apps.post_training "$PACK" \
+    --rounds 160 --envs-per-teacher 8 --teachers-per-round 118 \
+    --aggregate-capacity 40960 --grad-steps-per-round 913 \
+    --teacher-mix-rounds 3 --eval-max-angle 1.0 --eval-every-rounds 10 \
+    --collect-angle-power 4 --seed 0 "$@" \
+    > "/tmp/distill_${TAG}.log" 2>&1
+  local RC=$?
+  echo "distill $TAG rc=$RC $(date)"
+  local STUDENT
+  STUDENT=$(grep -o "experiments/[^ ]*final\.h5" "/tmp/distill_${TAG}.log" | tail -1)
+  if [ -z "$STUDENT" ] || [ ! -f "$STUDENT" ]; then
+    STUDENT=$(find experiments -name '*.h5' -newer "$STAMP" \
+              -path '*post_training*' 2>/dev/null | xargs -r ls -t | head -1)
+    echo "using periodic checkpoint owned by this stage: $STUDENT"
+  fi
+  if [ -n "$STUDENT" ] && [ -f "$STUDENT" ]; then
+    cp "$STUDENT" "artifacts/student_${TAG}.h5"
+    local RUN; RUN=$(dirname "$(dirname "$STUDENT")")
+    cp "$(ls "$RUN"/events.out.tfevents.* | head -1)" \
+      "artifacts/distill_${TAG}.tfevents" 2>/dev/null || true
+    if stage_ok 600 "eval_parity_$TAG"; then
+      timeout $(( $(remaining) > 2700 ? 2700 : $(remaining) - 60 )) \
+        python -m raptor_tpu.apps.eval_parity \
+        --checkpoint "artifacts/student_${TAG}.h5" \
+        --out "artifacts/eval_parity_${TAG}.json" \
+        > "/tmp/eval_parity_${TAG}.log" 2>&1
+      echo "eval_parity $TAG rc=$? $(date)"
+    fi
+  fi
+}
+
+# ---- 1: physics-pure demonstrator labels ----------------------------------
+if stage_ok 4200 demoRatePure; then
+  distill_stage experiments/union_rec640_packs.txt demoRatePure 2700 \
+    --demo-tilt 1.2 --demo-rate 5.0 --demo-adaptive \
+    --demo-w-cap 999 --demo-k-w 999 \
+    --demo-c-flip 0.65 --demo-c-lag 0.8 --demo-c-bw 2.0 --diagnostics
+fi
+
+# ---- 2: re-profile pre-training under rows (VERDICT item 4) ---------------
+if stage_ok 2700 profile_rows; then
+  timeout 2400 python -m raptor_tpu.apps.profile_pretraining \
+    --variants k128_unroll10,k128_rowsample_unroll10,k128_rowsample_train_only,k128_rowsample_collect_only,k256_rowsample_unroll10,k512_rowsample_unroll10 \
+    --out artifacts/profile_pretraining_r05.json \
+    > /tmp/profile_r05.log 2>&1
+  echo "profile rc=$? $(date)"
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
+    timeout 1200 python -m raptor_tpu.apps.profile_pretraining \
+    --flops-only --out artifacts/profile_pretraining_r05.json \
+    >> /tmp/profile_r05.log 2>&1
+  echo "flops merge rc=$? $(date)"
+fi
+
+# ---- 3: DDPGfD demo-seeded wave (VERDICT item 1 lever 1b) -----------------
+if stage_ok 6600 wave_demo2500; then
+  STAMP=/tmp/stamp_wave2500; touch "$STAMP"
+  T0=$(date +%s)
+  timeout $(( $(remaining) - 2400 > 5400 ? 5400 : $(remaining) - 2400 )) \
+    python -m raptor_tpu.apps.pre_training \
+    --population 128 --super-steps 6000 --steps-per-call 10 \
+    --replay-capacity 1536 --seed 2500 --checkpoint-every 500 \
+    --sample-rows --init-angle-power 3 \
+    --demo-seed-steps 48 --demo-every 1 \
+    > /tmp/pretrain_demo2500.log 2>&1
+  echo "wave demo2500 rc=$? wall=$(( $(date +%s) - T0 ))s $(date)"
+  M=$(find experiments -name checkpoints.txt -newer "$STAMP" \
+      -path '*pre_training*' 2>/dev/null | xargs -r ls -t | head -1)
+  if [ -n "$M" ]; then
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
+      timeout 1800 python -m raptor_tpu.apps.pack_teachers pack "$M" \
+      artifacts/teachers_demo2500_30M.npz > /tmp/pack_demo2500.log 2>&1
+    echo "pack rc=$? $(date)"
+    if stage_ok 1500 eval_teachers_demo2500; then
+      timeout 1500 python -m raptor_tpu.apps.eval_teachers \
+        artifacts/teachers_demo2500_30M.npz \
+        --out artifacts/eval_teachers_demo2500.json \
+        > /tmp/eval_teachers_demo2500.log 2>&1
+      echo "eval_teachers rc=$? $(date)"
+    fi
+  else
+    echo "NO manifest owned by this wave — skipping pack"
+  fi
+fi
+
+# ---- 4: flagship — union pack x best measured demo flags ------------------
+FLAGS=$(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
+  python - <<'EOF'
+import json, os
+cands = {
+    "demoRate": "--demo-tilt 1.2 --demo-rate 5.0",
+    "demoRateDrive": "--demo-tilt 1.2 --demo-rate 5.0 --demo-rollout-frac 0.25",
+    "demoRate7": "--demo-tilt 1.2 --demo-rate 7.0",
+    "demoRatePure": ("--demo-tilt 1.2 --demo-rate 5.0 --demo-adaptive "
+                     "--demo-w-cap 999 --demo-k-w 999 --demo-c-flip 0.65 "
+                     "--demo-c-lag 0.8 --demo-c-bw 2.0"),
+}
+best, score = cands["demoRate"], -1.0
+for tag, flags in cands.items():
+    p = f"artifacts/eval_parity_{tag}.json"
+    if not os.path.exists(p):
+        continue
+    d = json.load(open(p))
+    pi = parity = None
+    for row in d["sweep"]:
+        if abs(row["max_angle"] - 3.14159) < 1e-3:
+            pi = row.get("student_aggregate", {}).get("episode_length")
+        if abs(row["max_angle"] - 1.0) < 1e-3:
+            parity = row.get("student_aggregate", {}).get("episode_length")
+    if pi is None:
+        continue
+    s = pi - (0.0 if (parity or 0) >= 490.0 else 50.0)  # hard parity guard
+    if s > score:
+        best, score = flags, s
+print(best)
+EOF
+)
+echo "flagship flags: $FLAGS"
+if [ -f artifacts/teachers_demo2500_30M.npz ]; then
+  cat experiments/union_rec640_packs.txt > experiments/union_rec768demo_packs.txt
+  echo artifacts/teachers_demo2500_30M.npz >> experiments/union_rec768demo_packs.txt
+  FLAGPACK=experiments/union_rec768demo_packs.txt
+else
+  FLAGPACK=experiments/union_rec640_packs.txt
+fi
+if stage_ok 4200 rateFlag; then
+  # shellcheck disable=SC2086
+  distill_stage "$FLAGPACK" rateFlag 2700 $FLAGS --diagnostics
+fi
+
+# ---- 5: RL fine-tune from the best student (VERDICT item 6) ---------------
+BEST=$(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
+  python - <<'EOF'
+import glob, json, os
+best, score = "artifacts/student_currP4.h5", -1.0
+for p in glob.glob("artifacts/eval_parity_*.json"):
+    tag = os.path.basename(p)[len("eval_parity_"):-len(".json")]
+    ck = f"artifacts/student_{tag}.h5"
+    if not os.path.exists(ck):
+        continue
+    if tag.startswith("cap"):
+        continue  # non-16 hidden cannot graft into the ft actor config
+    d = json.load(open(p))
+    for row in d.get("sweep", []):
+        if abs(row.get("max_angle", 0) - 3.14159) < 1e-3 and "student_aggregate" in row:
+            s = row["student_aggregate"]["episode_length"]
+            if s > score:
+                best, score = ck, s
+print(best)
+EOF
+)
+echo "fine-tune init: $BEST"
+if stage_ok 3000 gru_ft; then
+  STAMP=/tmp/stamp_gruft; touch "$STAMP"
+  timeout $(( $(remaining) - 900 > 3000 ? 3000 : $(remaining) - 900 )) \
+    python -m raptor_tpu.apps.train_gru_sac \
+    --n-envs 1024 --super-steps 300 --rollout-length 64 \
+    --steps-per-call 10 --gradient-steps 8 --batch-size 64 --seq-len 64 \
+    --init-actor "$BEST" --actor-lr 1e-4 --init-angle-power 2 \
+    --eval-every 20 --eval-max-angle 1.0 --seed 0 \
+    > /tmp/gru_ft.log 2>&1
+  echo "gru_ft rc=$? $(date)"
+  GRU=$(grep -o "experiments/[^ ]*\.h5" /tmp/gru_ft.log | tail -1)
+  if [ -z "$GRU" ] || [ ! -f "$GRU" ]; then
+    GRU=$(find experiments -name '*.h5' -newer "$STAMP" -path '*gru_sac*' \
+          2>/dev/null | xargs -r ls -t | head -1)
+  fi
+  if [ -n "$GRU" ] && [ -f "$GRU" ]; then
+    cp "$GRU" artifacts/student_gruft_r05.h5
+    RUN=$(dirname "$(dirname "$GRU")")
+    cp "$(ls "$RUN"/events.out.tfevents.* | head -1)" \
+      artifacts/gru_ft_r05.tfevents 2>/dev/null || true
+    if stage_ok 600 eval_parity_gruft; then
+      timeout $(( $(remaining) > 1800 ? 1800 : $(remaining) - 60 )) \
+        python -m raptor_tpu.apps.eval_parity \
+        --checkpoint artifacts/student_gruft_r05.h5 \
+        --out artifacts/eval_parity_gruft_r05.json \
+        > /tmp/eval_parity_gruft.log 2>&1
+      echo "eval_parity gruft rc=$? $(date)"
+    fi
+  fi
+fi
+
+touch /tmp/r05_session3b_done
+echo "=== session3b chain done, TPU idle $(date) ==="
