@@ -214,5 +214,35 @@ if stage_ok 3000 gru_ft; then
   fi
 fi
 
+# ---- 6: failure-mode attribution for the best student ---------------------
+BEST2=$(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
+  python - <<'EOF'
+import glob, json, os
+best, score, tag_best = "artifacts/student_demoRate.h5", -1.0, "demoRate"
+for p in glob.glob("artifacts/eval_parity_*.json"):
+    tag = os.path.basename(p)[len("eval_parity_"):-len(".json")]
+    ck = f"artifacts/student_{tag}.h5"
+    if not os.path.exists(ck):
+        continue
+    d = json.load(open(p))
+    for row in d.get("sweep", []):
+        if abs(row.get("max_angle", 0) - 3.14159) < 1e-3 and "student_aggregate" in row:
+            s = row["student_aggregate"]["episode_length"]
+            if s > score:
+                best, score, tag_best = ck, s, tag
+print(best + " " + tag_best)
+EOF
+)
+BESTCK=${BEST2% *}; BESTTAG=${BEST2#* }
+echo "failure modes on: $BESTCK ($BESTTAG)"
+if stage_ok 900 failure_modes_best; then
+  timeout $(( $(remaining) > 1800 ? 1800 : $(remaining) - 60 )) \
+    python -m raptor_tpu.apps.failure_modes \
+    --checkpoint "$BESTCK" \
+    --out "artifacts/failure_modes_${BESTTAG}.json" \
+    > /tmp/failure_modes_best.log 2>&1
+  echo "failure_modes rc=$? $(date)"
+fi
+
 touch /tmp/r05_session3b_done
 echo "=== session3b chain done, TPU idle $(date) ==="
