@@ -244,5 +244,40 @@ if stage_ok 900 failure_modes_best; then
   echo "failure_modes rc=$? $(date)"
 fi
 
+# ---- 7 (opportunistic): double-budget distill with the winning flags ------
+# The matched-budget recipe (160x913) is pinned for reference parity; the
+# pi targets are absolute, so a 2x-budget run is fair game if time allows.
+if stage_ok 4500 rateLong; then
+  STAMP=/tmp/stamp_rateLong
+  touch "$STAMP"
+  timeout 3600 python -m raptor_tpu.apps.post_training \
+    experiments/union_rec640_packs.txt \
+    --rounds 320 --envs-per-teacher 8 --teachers-per-round 118 \
+    --aggregate-capacity 40960 --grad-steps-per-round 913 \
+    --teacher-mix-rounds 3 --eval-max-angle 1.0 --eval-every-rounds 20 \
+    --collect-angle-power 4 --seed 0 $FLAGS \
+    > /tmp/distill_rateLong.log 2>&1
+  echo "distill rateLong rc=$? $(date)"
+  STUDENT=$(grep -o "experiments/[^ ]*final\.h5" /tmp/distill_rateLong.log | tail -1)
+  if [ -z "$STUDENT" ] || [ ! -f "$STUDENT" ]; then
+    STUDENT=$(find experiments -name '*.h5' -newer "$STAMP" \
+              -path '*post_training*' 2>/dev/null | xargs -r ls -t | head -1)
+  fi
+  if [ -n "$STUDENT" ] && [ -f "$STUDENT" ]; then
+    cp "$STUDENT" artifacts/student_rateLong.h5
+    RUN=$(dirname "$(dirname "$STUDENT")")
+    cp "$(ls "$RUN"/events.out.tfevents.* | head -1)" \
+      artifacts/distill_rateLong.tfevents 2>/dev/null || true
+    if stage_ok 600 eval_parity_rateLong; then
+      timeout $(( $(remaining) > 2700 ? 2700 : $(remaining) - 60 )) \
+        python -m raptor_tpu.apps.eval_parity \
+        --checkpoint artifacts/student_rateLong.h5 \
+        --out artifacts/eval_parity_rateLong.json \
+        > /tmp/eval_parity_rateLong.log 2>&1
+      echo "eval_parity rateLong rc=$? $(date)"
+    fi
+  fi
+fi
+
 touch /tmp/r05_session3b_done
 echo "=== session3b chain done, TPU idle $(date) ==="
