@@ -71,18 +71,18 @@ if stage_ok 4200 demoRatePure; then
     --demo-c-flip 0.65 --demo-c-lag 0.8 --demo-c-bw 2.0 --diagnostics
 fi
 
-# ---- 2: re-profile pre-training under rows (VERDICT item 4) ---------------
-if stage_ok 2700 profile_rows; then
-  timeout 2400 python -m raptor_tpu.apps.profile_pretraining \
-    --variants k128_unroll10,k128_rowsample_unroll10,k128_rowsample_train_only,k128_rowsample_collect_only,k256_rowsample_unroll10,k512_rowsample_unroll10 \
-    --out artifacts/profile_pretraining_r05.json \
-    > /tmp/profile_r05.log 2>&1
-  echo "profile rc=$? $(date)"
-  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu RAPTOR_PLATFORM=cpu \
-    timeout 1200 python -m raptor_tpu.apps.profile_pretraining \
-    --flops-only --out artifacts/profile_pretraining_r05.json \
-    >> /tmp/profile_r05.log 2>&1
-  echo "flops merge rc=$? $(date)"
+# ---- 2: clean K-geometry confirmation (VERDICT item 4) --------------------
+# The full r05 profile already landed (artifacts/profile_pretraining_r05
+# .json — written by the orphaned session-2 stage) but it overlapped the
+# demoRate7 distill on the tunnel; the k128 rows match prior clean
+# measurements exactly, the surprising k256/k512 rows (total throughput
+# BELOW k128) need an uncontended re-run.
+if stage_ok 1800 profile_kgeom; then
+  timeout 1500 python -m raptor_tpu.apps.profile_pretraining \
+    --variants k128_rowsample_unroll10,k256_rowsample_unroll10,k512_rowsample_unroll10 \
+    --out artifacts/profile_pretraining_r05b.json \
+    > /tmp/profile_r05b.log 2>&1
+  echo "profile kgeom rc=$? $(date)"
 fi
 
 # ---- 3: DDPGfD demo-seeded wave (VERDICT item 1 lever 1b) -----------------
