@@ -38,10 +38,19 @@ def main(argv=None):
     p.add_argument("--episodes", type=int, default=8,
                    help="eval episodes per teacher")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-angle", type=float, default=None,
+                   help="override the init max_angle (rad); e.g. 0.2 "
+                        "probes hover competence of each teacher on its "
+                        "own airframe (round-5 slow-motor tail diagnosis)")
     p.add_argument("--out", default=None, help="JSON report path")
     args = p.parse_args(argv)
 
-    env = L2F(EnvConfig())
+    if args.max_angle is not None:
+        from raptor_tpu.env.types import InitConfig
+
+        env = L2F(EnvConfig(init=InitConfig(max_angle=args.max_angle)))
+    else:
+        env = L2F(EnvConfig())
 
     def member_eval(actor, airframe, key):
         p_eval = jax.tree.map(
@@ -76,6 +85,7 @@ def main(argv=None):
             "episode_length/mean": float(length.mean()),
             "share_terminated/mean": float(term.mean()),
             "per_teacher_return": [float(x) for x in ret],
+            "per_teacher_share_terminated": [float(x) for x in term],
         }
         print(json.dumps({path: {kk: vv for kk, vv in report[path].items()
                                  if kk != "per_teacher_return"}}),

@@ -167,3 +167,51 @@ def test_pack_self_verifies_on_load(tmp_path):
         np.savez_compressed(fh, **arrays)
     with pytest.raises(ValueError, match="meta"):
         load_teacher_pack(no_meta)
+
+
+def test_filter_teachers_curates_by_measured_quality(tmp_path):
+    """apps/filter_teachers subsets a pack by per-teacher eval gates and
+    the curated pack round-trips through load_teachers (round-5 hover-gate
+    curation: teachers that cannot hover their own airframe are dropped
+    from distillation unions)."""
+    import json
+
+    from raptor_tpu.apps import filter_teachers
+
+    tmp = str(tmp_path)
+    manifest = _make_manifest(tmp, k=3)
+    actors, frames = load_teachers(manifest)
+    pack = os.path.join(tmp, "wave.npz")
+    save_teacher_pack(pack, actors, frames)
+
+    report = {pack: {
+        "teachers": 3,
+        "per_teacher_share_terminated": [0.0, 0.75, 0.25],
+        "per_teacher_return": [600.0, 100.0, 400.0],
+    }}
+    ev = os.path.join(tmp, "eval.json")
+    with open(ev, "w") as f:
+        json.dump(report, f)
+
+    out = os.path.join(tmp, "curated.npz")
+    filter_teachers.main([pack, out, "--eval", ev, "--max-term", "0.5"])
+    actors_c, frames_c = load_teachers(out)
+    assert frames_c.mass.shape[0] == 2  # teacher 1 dropped
+    np.testing.assert_array_equal(
+        np.asarray(frames_c.mass),
+        np.asarray(frames.mass)[[0, 2]],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(actors_c["layers"][0]["w"]),
+        np.asarray(actors["layers"][0]["w"])[[0, 2]],
+    )
+
+    # combined gates: min-return additionally drops teacher 2
+    out2 = os.path.join(tmp, "curated2.npz")
+    filter_teachers.main([pack, out2, "--eval", ev,
+                          "--max-term", "0.5", "--min-return", "500"])
+    _, frames_c2 = load_teachers(out2)
+    assert frames_c2.mass.shape[0] == 1
+    np.testing.assert_array_equal(
+        np.asarray(frames_c2.mass), np.asarray(frames.mass)[[0]]
+    )
