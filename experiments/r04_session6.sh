@@ -32,6 +32,7 @@ artifacts/teachers_rec2100_15M.npz
 EOF
 
 if stage_ok 600 distill_demo640; then
+  STAMP=/tmp/stamp_demo640; touch "$STAMP"
   timeout $(( $(remaining) - 420 )) python -m raptor_tpu.apps.post_training \
     experiments/union_rec640_packs.txt \
     --rounds 160 --envs-per-teacher 8 --teachers-per-round 118 \
@@ -44,9 +45,12 @@ if stage_ok 600 distill_demo640; then
   STUDENT=$(grep -o "experiments/[^ ]*final\.h5" /tmp/distill_demo640.log | tail -1)
   if [ -z "$STUDENT" ] || [ ! -f "$STUDENT" ]; then
     # timed out mid-run: the round_hook checkpoints every 10 rounds —
-    # take the newest periodic export instead
-    STUDENT=$(ls -t experiments/*/*post_training/checkpoints/*.h5 2>/dev/null | head -1)
-    echo "using periodic checkpoint: $STUDENT"
+    # take the newest periodic export OWNED BY THIS STAGE (mtime newer
+    # than the stage start; ADVICE r4: a bare `ls -t | head -1` could
+    # silently pick a checkpoint from an older unrelated run)
+    STUDENT=$(find experiments -name '*.h5' -newer "$STAMP" \
+              -path '*post_training*' 2>/dev/null | xargs -r ls -t | head -1)
+    echo "using periodic checkpoint owned by this stage: $STUDENT"
   fi
   if [ -n "$STUDENT" ] && [ -f "$STUDENT" ]; then
     cp "$STUDENT" artifacts/student_demo640.h5
